@@ -1,0 +1,200 @@
+"""Fully-factorized learned entropy model ("EntropyBottleneck").
+
+Re-implements, TPU-first in JAX/flax, the capability of CompressAI 1.2.6's
+``EntropyBottleneck`` (Ballé et al. 2018, "Variational image compression
+with a scale hyperprior", appendix 6.1) used by the reference at
+/root/reference/models/checkerboard.py:30 and elic.py:29:
+
+- per-channel monotone CDF ``c(x)`` built from a chain of small
+  softplus-reparameterized affine "filters" with tanh gating,
+- training likelihood ``c(x + .5) - c(x - .5)`` on noise- or
+  round-quantized values,
+- learnable ``quantiles`` (3 points per channel) driven by an auxiliary
+  loss so the median and tails track the learned density,
+- ``build_tables`` extracting per-channel quantized CDFs for the rANS
+  coder (the reference delegates this to ``EntropyBottleneck.update``,
+  /root/reference/models/checkerboard.py:261-267).
+
+Layout notes: latents are NHWC. All density math vectorizes over channels
+as (C, 1, N) so the filter chain is a batched matmul — MXU-friendly and
+fused by XLA into the surrounding graph.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bound import LIKELIHOOD_BOUND, lower_bound
+
+
+def _logits_cumulative(params: dict, x: jax.Array, stop_gradient: bool) -> jax.Array:
+    """Evaluate the logit of the learned CDF at ``x`` (shape (C, 1, N))."""
+    num_filters = len([k for k in params if k.startswith("matrix_")])
+    for k in range(num_filters):
+        m = params[f"matrix_{k}"]
+        b = params[f"bias_{k}"]
+        if stop_gradient:
+            m = jax.lax.stop_gradient(m)
+            b = jax.lax.stop_gradient(b)
+        x = jnp.einsum("coi,cin->con", jax.nn.softplus(m), x) + b
+        if f"factor_{k}" in params:
+            f = params[f"factor_{k}"]
+            if stop_gradient:
+                f = jax.lax.stop_gradient(f)
+            x = x + jnp.tanh(f) * jnp.tanh(x)
+    return x
+
+
+class EntropyBottleneck(nn.Module):
+    """Factorized prior over the hyper-latent ``z``.
+
+    Call returns ``(z_hat, likelihoods)`` with the same NHWC shape as the
+    input, matching the reference contract at
+    /root/reference/models/checkerboard.py:96.
+    """
+
+    channels: int
+    filters: Sequence[int] = (3, 3, 3, 3)
+    init_scale: float = 10.0
+    tail_mass: float = 1e-9
+
+    def setup(self):
+        filters = (1,) + tuple(self.filters) + (1,)
+        scale = self.init_scale ** (1.0 / (len(self.filters) + 1))
+        for k in range(len(self.filters) + 1):
+            init = math.log(math.expm1(1.0 / scale / filters[k + 1]))
+            self.param(
+                f"matrix_{k}",
+                lambda rng, s, v=init: jnp.full(s, v, jnp.float32),
+                (self.channels, filters[k + 1], filters[k]),
+            )
+            self.param(
+                f"bias_{k}",
+                lambda rng, s: jax.random.uniform(rng, s, jnp.float32, -0.5, 0.5),
+                (self.channels, filters[k + 1], 1),
+            )
+            if k < len(self.filters):
+                self.param(
+                    f"factor_{k}",
+                    lambda rng, s: jnp.zeros(s, jnp.float32),
+                    (self.channels, filters[k + 1], 1),
+                )
+        self.param(
+            "quantiles",
+            lambda rng, s: jnp.tile(
+                jnp.array([-self.init_scale, 0.0, self.init_scale], jnp.float32),
+                (self.channels, 1, 1),
+            ),
+            (self.channels, 1, 3),
+        )
+
+    def _params(self) -> dict:
+        out = {}
+        for k in range(len(self.filters) + 1):
+            out[f"matrix_{k}"] = self.get_variable("params", f"matrix_{k}")
+            out[f"bias_{k}"] = self.get_variable("params", f"bias_{k}")
+            if k < len(self.filters):
+                out[f"factor_{k}"] = self.get_variable("params", f"factor_{k}")
+        return out
+
+    def medians(self) -> jax.Array:
+        """Per-channel learned medians, detached. Shape (C,)."""
+        q = self.get_variable("params", "quantiles")
+        return jax.lax.stop_gradient(q[:, 0, 1])
+
+    def _likelihood(self, v: jax.Array) -> jax.Array:
+        """v: (C, 1, N). Stable sigmoid-difference likelihood."""
+        p = self._params()
+        lower = _logits_cumulative(p, v - 0.5, stop_gradient=False)
+        upper = _logits_cumulative(p, v + 0.5, stop_gradient=False)
+        sign = jax.lax.stop_gradient(-jnp.sign(lower + upper))
+        return jnp.abs(jax.nn.sigmoid(sign * upper) - jax.nn.sigmoid(sign * lower))
+
+    def __call__(self, z: jax.Array, *, noise: bool = True,
+                 rng: jax.Array | None = None) -> Tuple[jax.Array, jax.Array]:
+        """z: NHWC. noise=True adds U(-.5,.5); else rounds around medians."""
+        B, H, W, C = z.shape
+        v = jnp.transpose(z, (3, 0, 1, 2)).reshape(C, 1, B * H * W)
+        if noise:
+            if rng is None:
+                raise ValueError("rng required for noise quantization")
+            v_hat = v + jax.random.uniform(rng, v.shape, v.dtype, -0.5, 0.5)
+        else:
+            med = self.medians().reshape(C, 1, 1)
+            v_hat = jnp.round(v - med) + med
+        lik = lower_bound(self._likelihood(v_hat), LIKELIHOOD_BOUND)
+        z_hat = jnp.transpose(v_hat.reshape(C, B, H, W), (1, 2, 3, 0))
+        lik = jnp.transpose(lik.reshape(C, B, H, W), (1, 2, 3, 0))
+        return z_hat, lik
+
+    def aux_loss(self) -> jax.Array:
+        """Quantile-fitting loss (trains only ``quantiles``); mirrors the
+        reference's ``CompressionModel.aux_loss`` usage at
+        /root/reference/src/utils/engine.py:87."""
+        q = self.get_variable("params", "quantiles")
+        logits = _logits_cumulative(self._params(), q, stop_gradient=True)
+        t = math.log(2.0 / self.tail_mass - 1.0)
+        target = jnp.array([-t, 0.0, t], jnp.float32).reshape(1, 1, 3)
+        return jnp.sum(jnp.abs(logits - target))
+
+
+@dataclasses.dataclass
+class CdfTables:
+    """Quantized CDF tables consumed by the rANS coder (int32 numpy)."""
+
+    quantized_cdf: np.ndarray  # (rows, max_len)
+    cdf_length: np.ndarray     # (rows,)
+    offset: np.ndarray         # (rows,)
+
+
+def build_bottleneck_tables(eb_params: dict, tail_mass: float = 1e-9) -> CdfTables:
+    """Bake per-channel quantized CDFs from learned density params.
+
+    Host-side equivalent of ``EntropyBottleneck.update`` (triggered via
+    /root/reference/src/updata.py:53): integer support derived from the
+    learned quantiles, PMF evaluated from the density, tail mass appended,
+    then quantized to 16-bit CDFs.
+    """
+    from ..coding.cdf import pmf_to_quantized_cdf
+
+    q = np.asarray(eb_params["quantiles"])  # (C,1,3)
+    medians = q[:, 0, 1]
+    minima = np.maximum(np.ceil(medians - q[:, 0, 0]).astype(np.int32), 0)
+    maxima = np.maximum(np.ceil(q[:, 0, 2] - medians).astype(np.int32), 0)
+    pmf_length = (minima + maxima + 1).astype(np.int32)
+    max_length = int(pmf_length.max())
+    C = medians.shape[0]
+
+    samples = np.arange(max_length, dtype=np.float32)[None, :] + (medians - minima)[:, None]
+    v = jnp.asarray(samples.reshape(C, 1, max_length))
+    p = {k: jnp.asarray(np.asarray(val)) for k, val in eb_params.items() if k != "quantiles"}
+    lower = np.asarray(_logits_cumulative(p, v - 0.5, stop_gradient=True))
+    upper = np.asarray(_logits_cumulative(p, v + 0.5, stop_gradient=True))
+    sign = -np.sign(lower + upper)
+    pmf = np.abs(_sigmoid(sign * upper) - _sigmoid(sign * lower))[:, 0, :]
+
+    cdfs = np.zeros((C, max_length + 2), np.int32)
+    for c in range(C):
+        n = int(pmf_length[c])
+        # mass left of the support + mass right of it goes into one escape bin
+        tail = _sigmoid(lower[c, 0, 0]) + _sigmoid(-upper[c, 0, n - 1])
+        row = pmf_to_quantized_cdf(
+            np.concatenate([pmf[c, :n], [max(tail, 0.0)]]).astype(np.float32)
+        )
+        cdfs[c, : len(row)] = row
+    return CdfTables(
+        quantized_cdf=cdfs,
+        cdf_length=pmf_length + 2,
+        offset=-minima,
+    )
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
