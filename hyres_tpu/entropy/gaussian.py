@@ -88,7 +88,7 @@ def build_indexes(scales: jax.Array, scale_table: np.ndarray | jax.Array) -> jax
     and decrement once per table entry that is >= the value.
     """
     table = jnp.asarray(scale_table)
-    scales = lower_bound(scales, float(table[0]))
+    scales = lower_bound(scales, table[0])
     # index = number of strict lower entries among table[:-1]
     return jnp.sum(scales[..., None] > table[:-1], axis=-1).astype(jnp.int32)
 
