@@ -61,9 +61,14 @@ def _decode_planes(strings: Sequence[bytes], indexes: np.ndarray, t: CdfTables) 
 class CheckerboardCodec:
     """Stateful wrapper: model def + params + baked CDF tables."""
 
-    def __init__(self, model, params):
+    def __init__(self, model, params, clamp: Tuple[float, float] | None = (0.0, 1.0)):
+        # clamp: output range of decompress. The reference clamps every
+        # decode to (0,1) (checkerboard.py:235) — wrong for the residual
+        # signal inside HyRES, whose range is [-1,1]; HyresCodec passes
+        # clamp=None (deliberate fix, see models/hyres.py).
         self.model = model
         self.params = params
+        self.clamp = clamp
         self.scale_table = get_scale_table()
         self.gauss_tables: CdfTables | None = None
         self.eb_tables: CdfTables | None = None
@@ -136,12 +141,16 @@ class CheckerboardCodec:
             mn_p = checkerboard.pack(mn, NON_ANCHOR)
             return y_anchor_hat, build_indexes(sn_p, table), mn_p
 
+        clamp = self.clamp
+
         @jax.jit
         def dec_stage3(y_anchor_hat, n_sym, mn_p):
             y_nonanchor_hat = checkerboard.unpack(
                 n_sym.astype(mn_p.dtype) + mn_p, NON_ANCHOR)
             x_hat = apply(model.synthesis, y_anchor_hat + y_nonanchor_hat)
-            return jnp.clip(x_hat, 0.0, 1.0)
+            if clamp is not None:
+                x_hat = jnp.clip(x_hat, clamp[0], clamp[1])
+            return x_hat
 
         self._enc_analysis, self._enc_symbols = enc_analysis, enc_symbols
         self._dec_stage1, self._dec_stage2, self._dec_stage3 = (

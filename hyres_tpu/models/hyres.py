@@ -1,0 +1,170 @@
+"""HyRES composite codec: JPEG base layer + neural residual + refinement.
+
+Re-implements the capability of the reference's
+``ResidualJPEGCompression`` (/root/reference/models/hyres.py:9-181):
+
+  forward:  jpeg encode/decode -> residual = x - jpeg(x) -> residual
+            codec -> x_hat = clamp(jpeg + res_hat + refine(jpeg + res_hat))
+  compress: real JPEG buffers + residual codec strings
+  decompress: rebuild from buffers + strings
+
+TPU-first difference: the reference computes the JPEG pass on CPU through
+a per-image libturbojpeg loop and ships tensors device<->host every step
+(hyres.py:39-53). Here the JPEG transform path is jnp (jpeg/core.py), so
+the ENTIRE training forward — JPEG included — is one jit-compiled XLA
+graph with exact on-device JPEG rate accounting; real bytes are emitted
+only in compress().
+
+Note (SURVEY Q3): the reference accepts an unused ``se_reduction`` arg and
+routes nonexistent ``se_block.*`` keys; the SE block actually lives inside
+MultiScaleRefine. We keep only the real structure.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..jpeg import (
+    assemble_jfif,
+    decode_from_coefficients,
+    encode_to_coefficients,
+    jpeg_roundtrip,
+)
+from ..jpeg.bitstream import ParsedJpeg
+from ..jpeg.core import decode_with_qtables
+from ..nn import MultiScaleRefine
+from .checkerboard import LightWeightCheckerboard
+from .codec import CheckerboardCodec
+
+
+class ResidualJPEGCompression(nn.Module):
+    """JPEG base + checkerboard residual codec + multi-scale refinement.
+
+    Returns the reference forward contract (hyres.py:70-77):
+    ``{x_hat, likelihoods, jpeg_bpp_loss, jpeg_decoded, residual,
+    residual_hat}``.
+    """
+
+    N: int = 128
+    M: int = 192
+    jpeg_quality: int = 1
+
+    def setup(self):
+        self.residual_model = LightWeightCheckerboard(self.N, self.M)
+        self.refine = MultiScaleRefine(mid_channels=64)
+
+    def refine_stage(self, x_initial: jax.Array) -> jax.Array:
+        return jnp.clip(x_initial + self.refine(x_initial), 0.0, 1.0)
+
+    def aux_loss(self) -> jax.Array:
+        return self.residual_model.aux_loss()
+
+    def __call__(self, x, noisequant: bool = False,
+                 rng: jax.Array | None = None) -> Dict:
+        # JPEG base layer — stays on device, no gradients (Q12: the JPEG
+        # rate enters the loss as an observed constant).
+        jpeg_decoded, jpeg_bpp = jpeg_roundtrip(x, self.jpeg_quality)
+        jpeg_decoded = jax.lax.stop_gradient(jpeg_decoded)
+        residual = x - jpeg_decoded
+
+        res_out = self.residual_model(residual, noisequant=noisequant, rng=rng)
+        residual_hat = res_out["x_hat"]
+
+        x_initial = jpeg_decoded + residual_hat
+        x_hat = self.refine_stage(x_initial)
+
+        return {
+            "x_hat": x_hat,
+            "likelihoods": res_out["likelihoods"],
+            "jpeg_bpp_loss": jnp.mean(jpeg_bpp),
+            "jpeg_decoded": jpeg_decoded,
+            "residual": residual,
+            "residual_hat": residual_hat,
+        }
+
+
+class HyresCodec:
+    """Deployment wrapper: real JPEG buffers + residual strings.
+
+    API mirrors reference hyres.py:79-134 (`compress` returns the residual
+    codec dict plus ``jpeg_buffers``; ``decompress`` takes that dict).
+    """
+
+    def __init__(self, model: ResidualJPEGCompression, params):
+        self.model = model
+        self.params = params
+        res_params = {"params": params["params"]["residual_model"]}
+        # clamp=None: the inner codec carries a signed residual (the
+        # reference's unconditional (0,1) clamp at checkerboard.py:235
+        # would zero all negative residual content on decode)
+        self._residual = CheckerboardCodec(
+            LightWeightCheckerboard(model.N, model.M), res_params, clamp=None)
+
+        @jax.jit
+        def jpeg_decode_and_residual(x, cy, ccb, ccr):
+            dec = decode_from_coefficients(
+                cy, ccb, ccr, model.jpeg_quality, x.shape[1], x.shape[2])
+            return dec, x - dec
+
+        @jax.jit
+        def refine_stage(jpeg_decoded, residual_hat):
+            x_init = jpeg_decoded + residual_hat
+            return model.apply(self.params, x_init, method=model.refine_stage)
+
+        self._jpeg_decode_and_residual = jpeg_decode_and_residual
+        self._refine_stage = refine_stage
+
+    def update(self, scale_table=None, force: bool = False) -> bool:
+        return self._residual.update(scale_table=scale_table, force=force)
+
+    def compress(self, x: jax.Array) -> Dict:
+        start = time.time()
+        q = self.model.jpeg_quality
+        coef = encode_to_coefficients(x, q)
+        y, cb, cr = (np.asarray(a) for a in (coef.y, coef.cb, coef.cr))
+        jpeg_buffers: List[bytes] = [
+            assemble_jfif(y[i], cb[i], cr[i], coef.width, coef.height, q)
+            for i in range(y.shape[0])
+        ]
+        _, residual = self._jpeg_decode_and_residual(x, coef.y, coef.cb, coef.cr)
+        out = self._residual.compress(residual)
+        out["jpeg_buffers"] = jpeg_buffers
+        out["time"] = time.time() - start
+        return out
+
+    def decompress(self, compressed: Dict) -> Dict:
+        start = time.time()
+        buffers = compressed["jpeg_buffers"]
+        planes = [ParsedJpeg(b) for b in buffers]
+        p0 = planes[0]
+        cy = jnp.asarray(np.stack([p.coeffs[0] for p in planes]))
+        ccb = jnp.asarray(np.stack([p.coeffs[1] for p in planes]))
+        ccr = jnp.asarray(np.stack([p.coeffs[2] for p in planes]))
+        jpeg_decoded = decode_with_qtables(
+            cy, ccb, ccr, p0.qtables[0], p0.qtables[1], p0.height, p0.width)
+
+        res = self._residual.decompress(compressed["strings"], compressed["shape"])
+        x_hat = self._refine_stage(jpeg_decoded, res["x_hat"])
+        x_hat.block_until_ready()
+        res["x_hat"] = x_hat
+        res["time"] = time.time() - start
+        return res
+
+    def inference(self, x: jax.Array) -> Dict:
+        comp = self.compress(x)
+        dec = self.decompress(comp)
+        return {
+            "x_hat": dec["x_hat"],
+            "compressed": comp,
+            "time": {
+                "compression": comp["time"],
+                "decompression": dec["time"],
+                "total": comp["time"] + dec["time"],
+            },
+        }

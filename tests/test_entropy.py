@@ -1,0 +1,111 @@
+"""Entropy models: likelihood bounds, CDF tables, index mapping, coding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats
+
+from hyres_tpu.coding import RansDecoder, RansEncoder
+from hyres_tpu.entropy import (
+    EntropyBottleneck,
+    build_bottleneck_tables,
+    build_gaussian_tables,
+    build_indexes,
+    gaussian_likelihood,
+    get_scale_table,
+    lower_bound,
+    quantize_ste,
+)
+
+
+def test_lower_bound_gradient():
+    g = jax.grad(lambda x: lower_bound(x, 1.0))
+    assert g(2.0) == 1.0          # above bound: pass through
+    assert g(0.5) == 0.0          # below bound, grad would push down: block
+    g2 = jax.grad(lambda x: -lower_bound(x, 1.0))
+    assert g2(0.5) == -1.0        # below bound, grad pushes up: pass
+
+
+def test_quantize_ste_grad():
+    f = lambda x: jnp.sum(quantize_ste(x) ** 2)
+    g = jax.grad(f)(jnp.array([0.3, 1.7]))
+    # d/dx (round(x))^2 with STE = 2*round(x)
+    np.testing.assert_allclose(np.asarray(g), [0.0, 4.0], atol=1e-6)
+
+
+def test_gaussian_likelihood_matches_scipy():
+    x = jnp.asarray(np.linspace(-5, 5, 41, dtype=np.float32))
+    scales = jnp.full_like(x, 1.7)
+    means = jnp.full_like(x, 0.3)
+    lik = np.asarray(gaussian_likelihood(x, scales, means))
+    v = np.asarray(x) - 0.3
+    want = scipy.stats.norm.cdf((np.abs(v) * 0 + 0.5 - np.abs(v)) / 1.7) - \
+        scipy.stats.norm.cdf((-0.5 - np.abs(v)) / 1.7)
+    np.testing.assert_allclose(lik, want, rtol=1e-4, atol=1e-7)
+
+
+def test_build_indexes_matches_reference_semantics():
+    """Replicates CompressAI's decrement loop as the oracle."""
+    table = get_scale_table()
+    scales = np.abs(np.random.default_rng(0).normal(0, 20, 1000)).astype(np.float32)
+    got = np.asarray(build_indexes(jnp.asarray(scales), table))
+    want = np.full(scales.shape, len(table) - 1, np.int32)
+    s = np.maximum(scales, table[0])
+    for t in table[:-1]:
+        want -= (s <= t).astype(np.int32)
+    assert np.array_equal(got, want)
+
+
+def test_gaussian_tables_code_roundtrip(rng_np):
+    table = get_scale_table()
+    t = build_gaussian_tables(table)
+    n = 20000
+    idx = rng_np.integers(0, len(table), n).astype(np.int32)
+    sym = np.round(rng_np.normal(0, np.minimum(table[idx], 30))).astype(np.int32)
+    data = RansEncoder().encode_with_indexes(sym, idx, t.quantized_cdf, t.cdf_length, t.offset)
+    out = RansDecoder(data).decode_stream(idx, t.quantized_cdf, t.cdf_length, t.offset)
+    assert np.array_equal(out, sym)
+
+
+def test_entropy_bottleneck_forward_and_tables():
+    eb = EntropyBottleneck(16)
+    z = jax.random.normal(jax.random.key(0), (2, 8, 8, 16)) * 4
+    params = eb.init(jax.random.key(1), z, noise=True, rng=jax.random.key(2))
+
+    z_hat, lik = eb.apply(params, z, noise=True, rng=jax.random.key(3))
+    assert z_hat.shape == z.shape and lik.shape == z.shape
+    assert bool(jnp.all(lik > 0)) and bool(jnp.all(lik <= 1))
+    # noise quantization stays within 0.5 of input
+    assert float(jnp.max(jnp.abs(z_hat - z))) <= 0.5 + 1e-6
+
+    # round mode: values on integer offsets from medians
+    z_hat_r, _ = eb.apply(params, z, noise=False)
+    med = np.asarray(params["params"]["quantiles"][:, 0, 1])
+    frac = np.asarray(z_hat_r) - med
+    np.testing.assert_allclose(frac, np.round(frac), atol=1e-5)
+
+    aux = eb.apply(params, method=lambda m: m.aux_loss())
+    assert np.isfinite(float(aux))
+
+    tabs = build_bottleneck_tables(params["params"])
+    assert tabs.quantized_cdf.shape[0] == 16
+    assert np.all(tabs.cdf_length >= 3)
+    # every row is a valid CDF over its length
+    for c in range(16):
+        row = tabs.quantized_cdf[c, : tabs.cdf_length[c]]
+        assert row[0] == 0 and row[-1] == 1 << 16 and np.all(np.diff(row) >= 1)
+
+
+def test_entropy_bottleneck_real_coding(rng_np):
+    eb = EntropyBottleneck(8)
+    z = jax.random.normal(jax.random.key(0), (1, 16, 16, 8)) * 3
+    params = eb.init(jax.random.key(1), z, noise=True, rng=jax.random.key(2))
+    tabs = build_bottleneck_tables(params["params"])
+    med = np.asarray(params["params"]["quantiles"][:, 0, 1])
+    sym = np.round(np.asarray(z) - med).astype(np.int32)
+    idx = np.ascontiguousarray(np.broadcast_to(np.arange(8, dtype=np.int32), sym.shape))
+    data = RansEncoder().encode_with_indexes(
+        sym.ravel(), idx.ravel(), tabs.quantized_cdf, tabs.cdf_length, tabs.offset)
+    out = RansDecoder(data).decode_stream(
+        idx.ravel(), tabs.quantized_cdf, tabs.cdf_length, tabs.offset)
+    assert np.array_equal(out, sym.ravel())
