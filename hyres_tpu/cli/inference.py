@@ -1,0 +1,157 @@
+"""Inference CLI — compress/decompress roundtrip + metrics.
+
+Mirrors the reference (/root/reference/src/inference.py:18-253): loads a
+checkpoint, runs real entropy-coded compress/decompress per image, counts
+bpp from ACTUAL string/buffer lengths (y anchor + non-anchor, z, JPEG),
+reports PSNR (correct formula — reference Q1 bug fixed) and MS-SSIM,
+optional component dumps, directory mode, metrics.csv.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import time
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="HyRES-TPU inference")
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--input", type=str, required=True, help="image or directory")
+    p.add_argument("--output", type=str, default="./inference_out")
+    p.add_argument("--N", type=int, default=128)
+    p.add_argument("--M", type=int, default=192)
+    p.add_argument("--jpeg-quality", type=int, default=1)
+    p.add_argument("--model", type=str, default="hyres",
+                   choices=["hyres", "checkerboard", "elic", "cheng2020"])
+    p.add_argument("--save-components", action="store_true")
+    p.add_argument("--cuda", action="store_true", help="ignored (auto device)")
+    return p.parse_args(argv)
+
+
+def build_codec(args, params):
+    from ..models.hyres import HyresCodec, ResidualJPEGCompression
+    from ..models import CheckerboardCodec, LightWeightCheckerboard
+
+    if args.model == "hyres":
+        model = ResidualJPEGCompression(N=args.N, M=args.M,
+                                        jpeg_quality=args.jpeg_quality)
+        return model, HyresCodec(model, params)
+    if args.model == "checkerboard":
+        model = LightWeightCheckerboard(N=args.N, M=args.M)
+        return model, CheckerboardCodec(model, params)
+    if args.model == "elic":
+        from ..models import ElicCodec, LightWeightELIC
+        model = LightWeightELIC(N=args.N if args.N != 128 else 192,
+                                M=args.M if args.M != 192 else 320)
+        return model, ElicCodec(model, params)
+    from ..models.cheng2020 import Cheng2020Codec, Cheng2020withCheckerboard
+    model = Cheng2020withCheckerboard(N=args.N if args.N != 128 else 192)
+    return model, Cheng2020Codec(model, params)
+
+
+def strings_nbytes(comp) -> dict:
+    y_anchor = sum(len(s) for s in comp["strings"][0][0])
+    y_non = sum(len(s) for s in comp["strings"][0][1])
+    z = sum(len(s) for s in comp["strings"][1])
+    jpeg = sum(len(b) for b in comp.get("jpeg_buffers", []))
+    return {"y": y_anchor + y_non, "z": z, "jpeg": jpeg}
+
+
+def process_image(codec, path: str, outdir: Path, save_components: bool):
+    from ..losses import ms_ssim
+    from ..train import load_image, save_image
+
+    x = jnp.asarray(load_image(path))
+    H, W = x.shape[1], x.shape[2]
+    num_px = H * W
+
+    t0 = time.time()
+    comp = codec.compress(x)
+    enc_time = time.time() - t0
+    t0 = time.time()
+    dec = (codec.decompress(comp) if "jpeg_buffers" in comp
+           else codec.decompress(comp["strings"], comp["shape"]))
+    dec_time = time.time() - t0
+    x_hat = jnp.clip(dec["x_hat"], 0, 1)
+
+    nb = strings_nbytes(comp)
+    bpp = {k: v * 8 / num_px for k, v in nb.items()}
+    total_bpp = sum(bpp.values())
+
+    mse = float(jnp.mean((x - x_hat) ** 2))
+    psnr = -10 * np.log10(mse)
+    msssim = float(ms_ssim(x, x_hat))
+
+    name = Path(path).stem
+    save_image(np.asarray(x_hat), outdir / f"{name}_recon.png")
+    if save_components and "jpeg_buffers" in comp:
+        from ..jpeg import JpegCodec
+        jc = JpegCodec(codec.model.jpeg_quality)
+        jpeg_dec = jc.decompress(comp["jpeg_buffers"])
+        residual = x - jpeg_dec
+        save_image(np.asarray(jpeg_dec), outdir / f"{name}_jpeg.png")
+        save_image(np.asarray(residual * 0.5 + 0.5), outdir / f"{name}_residual.png")
+
+    return {
+        "filename": Path(path).name,
+        "total_bpp": total_bpp,
+        "jpeg_bpp": bpp.get("jpeg", 0.0),
+        "y_bpp": bpp["y"],
+        "z_bpp": bpp["z"],
+        "mse": mse,
+        "psnr": psnr,
+        "ms_ssim": msssim,
+        "enc_time": enc_time,
+        "dec_time": dec_time,
+    }
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ..train import load_checkpoint
+    from ..train.checkpoint import extract_variables
+
+    params = extract_variables(load_checkpoint(args.checkpoint))
+
+    model, codec = build_codec(args, params)
+    codec.update(force=True)
+
+    outdir = Path(args.output)
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    inp = Path(args.input)
+    files = ([str(inp)] if inp.is_file() else sorted(
+        str(p) for p in inp.iterdir()
+        if p.suffix.lower() in {".png", ".jpg", ".jpeg", ".bmp"}))
+    if not files:
+        raise SystemExit(f"no images found at {args.input}")
+
+    rows = []
+    for f in files:
+        r = process_image(codec, f, outdir, args.save_components)
+        rows.append(r)
+        print(f"{r['filename']}: bpp={r['total_bpp']:.4f} "
+              f"(jpeg {r['jpeg_bpp']:.4f} y {r['y_bpp']:.4f} z {r['z_bpp']:.4f}) "
+              f"psnr={r['psnr']:.2f} ms-ssim={r['ms_ssim']:.4f} "
+              f"enc={r['enc_time']:.3f}s dec={r['dec_time']:.3f}s", flush=True)
+
+    keys = list(rows[0])
+    avg = {k: float(np.mean([r[k] for r in rows])) for k in keys if k != "filename"}
+    print(f"AVG: bpp={avg['total_bpp']:.4f} psnr={avg['psnr']:.2f} "
+          f"ms-ssim={avg['ms_ssim']:.4f} enc={avg['enc_time']:.3f}s "
+          f"dec={avg['dec_time']:.3f}s")
+
+    with open(outdir / "metrics.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys)
+        w.writeheader()
+        w.writerows(rows)
+        w.writerow({**{"filename": "average"}, **avg})
+
+
+if __name__ == "__main__":
+    main()

@@ -121,7 +121,7 @@ class EntropyBottleneck(nn.Module):
                  rng: jax.Array | None = None) -> Tuple[jax.Array, jax.Array]:
         """z: NHWC. noise=True adds U(-.5,.5); else rounds around medians."""
         B, H, W, C = z.shape
-        v = jnp.transpose(z, (3, 0, 1, 2)).reshape(C, 1, B * H * W)
+        v = jnp.transpose(z.astype(jnp.float32), (3, 0, 1, 2)).reshape(C, 1, B * H * W)
         if noise:
             if rng is None:
                 raise ValueError("rng required for noise quantization")

@@ -45,9 +45,15 @@ def _std_cumulative(x: jax.Array) -> jax.Array:
 
 def gaussian_likelihood(x: jax.Array, scales: jax.Array, means: jax.Array | None = None,
                         scale_bound: float = SCALES_MIN) -> jax.Array:
-    """P(round(x) | mu, sigma) under the relaxed box integral; bounded below."""
+    """P(round(x) | mu, sigma) under the relaxed box integral; bounded below.
+
+    Always evaluated in f32 — erfc in bf16 collapses the rate signal, so
+    under a bf16 compute policy only this tail stays full-precision.
+    """
+    x = x.astype(jnp.float32)
+    scales = scales.astype(jnp.float32)
     if means is not None:
-        x = x - means
+        x = x - means.astype(jnp.float32)
     scales = lower_bound(scales, scale_bound)
     v = jnp.abs(x)
     upper = _std_cumulative((0.5 - v) / scales)

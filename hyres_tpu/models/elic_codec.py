@@ -1,0 +1,220 @@
+"""ElicCodec: per-slice entropy-coded compress/decompress.
+
+Host choreography for LightWeightELIC mirroring the reference's coder
+(/root/reference/models/elic.py:410-594): per slice, anchor pass then
+non-anchor pass, each coding a width-halved dense packing of the parity
+class. Returns the reference contract:
+
+  compress -> {"strings": [y_strings(anchor/non-anchor interleaved),
+               z_strings], "shape", "time" + per-stage timers}
+  decompress(strings, shape) -> {"x_hat", "time"}
+
+Same bit-exactness invariant as CheckerboardCodec: every coder-facing
+tensor comes from decoder-side compiled programs that the encoder reuses.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy import (
+    CdfTables,
+    build_bottleneck_tables,
+    build_gaussian_tables,
+    build_indexes,
+    get_scale_table,
+)
+from ..nn import checkerboard
+from ..nn.checkerboard import ANCHOR, NON_ANCHOR
+from .codec import _decode_planes, _encode_planes
+
+
+class ElicCodec:
+    def __init__(self, model, params, clamp: Tuple[float, float] | None = (0.0, 1.0)):
+        self.model = model
+        self.params = params
+        self.clamp = clamp
+        self.scale_table = get_scale_table()
+        self.gauss_tables: CdfTables | None = None
+        self.eb_tables: CdfTables | None = None
+        self._build_jits()
+
+    def update(self, scale_table=None, force: bool = False) -> bool:
+        if self.gauss_tables is not None and not force:
+            return False
+        if scale_table is not None:
+            self.scale_table = np.asarray(scale_table, np.float32)
+        self.gauss_tables = build_gaussian_tables(self.scale_table)
+        self.eb_tables = build_bottleneck_tables(
+            self.params["params"]["entropy_bottleneck"])
+        return True
+
+    def _build_jits(self):
+        model, params = self.model, self.params
+        table = jnp.asarray(get_scale_table())
+
+        def apply(method, *args):
+            return model.apply(params, *args, method=method)
+
+        @jax.jit
+        def enc_analysis(x):
+            y, z = apply(model.analysis, x)
+            med = apply(model.eb_medians)
+            z_sym = jnp.round(z - med).astype(jnp.int32)
+            return y, z_sym
+
+        @jax.jit
+        def dec_hyper(z_sym):
+            med = apply(model.eb_medians)
+            z_hat = z_sym.astype(jnp.float32) + med
+            means, scales = apply(model.hyper_synthesis, z_hat)
+            return means, scales
+
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def dec_support(i, y_first, y_prev, means, scales):
+            return apply(model.slice_support, i, y_first, y_prev, means, scales)
+
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def dec_anchor(i, support):
+            m, s = apply(model.slice_anchor_params, i, support)
+            m_p = checkerboard.pack(m, ANCHOR)
+            idx = build_indexes(checkerboard.pack(s, ANCHOR), table)
+            return idx, m_p
+
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def dec_nonanchor(i, support, a_sym, ma_p):
+            y_anchor_hat = checkerboard.unpack(a_sym.astype(ma_p.dtype) + ma_p,
+                                               ANCHOR)
+            m, s = apply(model.slice_nonanchor_params, i, support, y_anchor_hat)
+            m_p = checkerboard.pack(m, NON_ANCHOR)
+            idx = build_indexes(checkerboard.pack(s, NON_ANCHOR), table)
+            return y_anchor_hat, idx, m_p
+
+        @jax.jit
+        def dec_combine(y_anchor_hat, n_sym, mn_p):
+            return y_anchor_hat + checkerboard.unpack(
+                n_sym.astype(mn_p.dtype) + mn_p, NON_ANCHOR)
+
+        clamp = self.clamp
+
+        @jax.jit
+        def dec_synthesis(y_hat_slices):
+            x_hat = apply(model.synthesis, jnp.concatenate(y_hat_slices, axis=-1))
+            if clamp is not None:
+                x_hat = jnp.clip(x_hat, clamp[0], clamp[1])
+            return x_hat
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def enc_symbols(y_slice, means_packed, parity):
+            y_p = checkerboard.pack(y_slice, parity)
+            return jnp.round(y_p - means_packed).astype(jnp.int32)
+
+        self._enc_analysis = enc_analysis
+        self._enc_symbols = enc_symbols
+        self._dec_hyper = dec_hyper
+        self._dec_support = dec_support
+        self._dec_anchor = dec_anchor
+        self._dec_nonanchor = dec_nonanchor
+        self._dec_combine = dec_combine
+        self._dec_synthesis = dec_synthesis
+
+    # -- z plane --------------------------------------------------------------
+
+    def _eb_encode(self, z_sym: np.ndarray) -> List[bytes]:
+        C = z_sym.shape[-1]
+        idx = np.ascontiguousarray(
+            np.broadcast_to(np.arange(C, dtype=np.int32), z_sym.shape))
+        return _encode_planes(z_sym, idx, self.eb_tables)
+
+    def _eb_decode(self, strings, shape) -> np.ndarray:
+        C = self.eb_tables.cdf_length.shape[0]
+        idx = np.ascontiguousarray(
+            np.broadcast_to(np.arange(C, dtype=np.int32), (*shape, C)))
+        from ..coding import RansDecoder
+        return np.stack([
+            RansDecoder(s).decode_stream(idx, self.eb_tables.quantized_cdf,
+                                         self.eb_tables.cdf_length,
+                                         self.eb_tables.offset)
+            for s in strings])
+
+    def _slice_bounds(self):
+        bounds, acc = [], 0
+        for g in self.model.groups[:-1]:
+            acc += g
+            bounds.append(acc)
+        return bounds
+
+    # -- public API -------------------------------------------------------------
+
+    def compress(self, x: jax.Array) -> Dict:
+        if self.gauss_tables is None:
+            raise RuntimeError("call update() first")
+        t_start = time.time()
+        y, z_sym = self._enc_analysis(x)
+        means, scales = self._dec_hyper(z_sym)
+        y_slices = jnp.split(y, self._slice_bounds(), axis=-1)
+
+        y_strings: List[List[bytes]] = []
+        y_hat_slices: List[jax.Array] = []
+        gt = self.gauss_tables
+        for i, y_slice in enumerate(y_slices):
+            support = self._dec_support(
+                i, y_hat_slices[0] if y_hat_slices else means[..., :0],
+                y_hat_slices[-1] if y_hat_slices else means[..., :0],
+                means, scales)
+            a_idx, ma_p = self._dec_anchor(i, support)
+            a_sym = self._enc_symbols(y_slice, ma_p, ANCHOR)
+            y_strings.append(_encode_planes(np.asarray(a_sym), np.asarray(a_idx), gt))
+
+            y_anchor_hat, n_idx, mn_p = self._dec_nonanchor(i, support, a_sym, ma_p)
+            n_sym = self._enc_symbols(y_slice, mn_p, NON_ANCHOR)
+            y_strings.append(_encode_planes(np.asarray(n_sym), np.asarray(n_idx), gt))
+            y_hat_slices.append(self._dec_combine(y_anchor_hat, n_sym, mn_p))
+
+        z_strings = self._eb_encode(np.asarray(z_sym))
+        return {
+            "strings": [y_strings, z_strings],
+            "shape": (int(z_sym.shape[1]), int(z_sym.shape[2])),
+            "time": time.time() - t_start,
+        }
+
+    def decompress(self, strings, shape) -> Dict:
+        if self.gauss_tables is None:
+            raise RuntimeError("call update() first")
+        t_start = time.time()
+        z_sym = self._eb_decode(strings[1], shape)
+        means, scales = self._dec_hyper(jnp.asarray(z_sym))
+
+        y_strings = strings[0]
+        y_hat_slices: List[jax.Array] = []
+        gt = self.gauss_tables
+        for i in range(len(self.model.groups)):
+            support = self._dec_support(
+                i, y_hat_slices[0] if y_hat_slices else means[..., :0],
+                y_hat_slices[-1] if y_hat_slices else means[..., :0],
+                means, scales)
+            a_idx, ma_p = self._dec_anchor(i, support)
+            a_sym = jnp.asarray(_decode_planes(y_strings[2 * i], np.asarray(a_idx), gt))
+            y_anchor_hat, n_idx, mn_p = self._dec_nonanchor(i, support, a_sym, ma_p)
+            n_sym = jnp.asarray(_decode_planes(y_strings[2 * i + 1], np.asarray(n_idx), gt))
+            y_hat_slices.append(self._dec_combine(y_anchor_hat, n_sym, mn_p))
+
+        x_hat = self._dec_synthesis(y_hat_slices)
+        x_hat.block_until_ready()
+        return {"x_hat": x_hat, "time": time.time() - t_start}
+
+    def inference(self, x: jax.Array) -> Dict:
+        comp = self.compress(x)
+        dec = self.decompress(comp["strings"], comp["shape"])
+        return {
+            "x_hat": dec["x_hat"],
+            "time": {"compression": comp["time"],
+                     "decompression": dec["time"],
+                     "total": comp["time"] + dec["time"]},
+        }

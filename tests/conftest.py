@@ -17,6 +17,10 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# XLA:CPU compiles the codec backward graph very slowly (~2.5 min); cache
+# compiled programs across test runs.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
