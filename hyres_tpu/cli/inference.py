@@ -49,7 +49,7 @@ def build_codec(args, params):
         model = LightWeightELIC(N=args.N if args.N != 128 else 192,
                                 M=args.M if args.M != 192 else 320)
         return model, ElicCodec(model, params)
-    from ..models.cheng2020 import Cheng2020Codec, Cheng2020withCheckerboard
+    from ..models import Cheng2020Codec, Cheng2020withCheckerboard
     model = Cheng2020withCheckerboard(N=args.N if args.N != 128 else 192)
     return model, Cheng2020Codec(model, params)
 

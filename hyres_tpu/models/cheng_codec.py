@@ -1,0 +1,186 @@
+"""Cheng2020Codec: two-pass coding over ONE buffered rANS stream.
+
+Mirrors the reference coder exactly (/root/reference/models/
+cheng2020.py:106-192): both passes' symbols are pushed into a single
+BufferedRansEncoder and flushed once, so ``strings`` is
+``[[y_string], z_strings]``; decode reads the same stream sequentially.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..coding import BufferedRansEncoder, RansDecoder
+from ..entropy import (
+    CdfTables,
+    build_bottleneck_tables,
+    build_gaussian_tables,
+    build_indexes,
+    get_scale_table,
+)
+from ..nn import checkerboard
+from .cheng2020 import CHENG_ANCHOR, CHENG_NONANCHOR
+from .codec import _encode_planes
+
+
+class Cheng2020Codec:
+    def __init__(self, model, params, clamp: Tuple[float, float] | None = (0.0, 1.0)):
+        self.model = model
+        self.params = params
+        self.clamp = clamp
+        self.scale_table = get_scale_table()
+        self.gauss_tables: CdfTables | None = None
+        self.eb_tables: CdfTables | None = None
+        self._build_jits()
+
+    def update(self, scale_table=None, force: bool = False) -> bool:
+        if self.gauss_tables is not None and not force:
+            return False
+        if scale_table is not None:
+            self.scale_table = np.asarray(scale_table, np.float32)
+        self.gauss_tables = build_gaussian_tables(self.scale_table)
+        self.eb_tables = build_bottleneck_tables(
+            self.params["params"]["entropy_bottleneck"])
+        return True
+
+    def _build_jits(self):
+        model, params = self.model, self.params
+        table = jnp.asarray(get_scale_table())
+
+        def apply(method, *args):
+            return model.apply(params, *args, method=method)
+
+        @jax.jit
+        def enc_analysis(x):
+            y, z = apply(model.analysis, x)
+            med = apply(model.eb_medians)
+            z_sym = jnp.round(z - med).astype(jnp.int32)
+            return y, z_sym
+
+        @jax.jit
+        def dec_anchor(z_sym):
+            med = apply(model.eb_medians)
+            z_hat = z_sym.astype(jnp.float32) + med
+            hyper = apply(model.hyper_synthesis, z_hat)
+            zeros_ctx = jnp.zeros(hyper.shape[:-1] + (2 * model.N,), hyper.dtype)
+            scales, means = apply(model.entropy_params, zeros_ctx, hyper)
+            sa_p = checkerboard.pack(scales, CHENG_ANCHOR)
+            ma_p = checkerboard.pack(means, CHENG_ANCHOR)
+            return hyper, build_indexes(sa_p, table), ma_p
+
+        @jax.jit
+        def dec_nonanchor(hyper, a_sym, ma_p):
+            y_anchor_hat = checkerboard.unpack(
+                a_sym.astype(ma_p.dtype) + ma_p, CHENG_ANCHOR)
+            ctx = apply(model.context, y_anchor_hat)
+            H, W = ctx.shape[1], ctx.shape[2]
+            ctx = ctx * checkerboard.parity_mask(H, W, CHENG_NONANCHOR, ctx.dtype)
+            scales, means = apply(model.entropy_params, ctx, hyper)
+            sn_p = checkerboard.pack(scales, CHENG_NONANCHOR)
+            mn_p = checkerboard.pack(means, CHENG_NONANCHOR)
+            return y_anchor_hat, build_indexes(sn_p, table), mn_p
+
+        clamp = self.clamp
+
+        @jax.jit
+        def dec_synthesis(y_anchor_hat, n_sym, mn_p):
+            y_hat = y_anchor_hat + checkerboard.unpack(
+                n_sym.astype(mn_p.dtype) + mn_p, CHENG_NONANCHOR)
+            x_hat = apply(model.synthesis, y_hat)
+            if clamp is not None:
+                x_hat = jnp.clip(x_hat, clamp[0], clamp[1])
+            return x_hat
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def enc_symbols(y, means_packed, parity):
+            return jnp.round(checkerboard.pack(y, parity) - means_packed
+                             ).astype(jnp.int32)
+
+        self._enc_analysis = enc_analysis
+        self._enc_symbols = enc_symbols
+        self._dec_anchor = dec_anchor
+        self._dec_nonanchor = dec_nonanchor
+        self._dec_synthesis = dec_synthesis
+
+    def _eb_encode(self, z_sym: np.ndarray) -> List[bytes]:
+        C = z_sym.shape[-1]
+        idx = np.ascontiguousarray(
+            np.broadcast_to(np.arange(C, dtype=np.int32), z_sym.shape))
+        return _encode_planes(z_sym, idx, self.eb_tables)
+
+    def _eb_decode(self, strings, shape) -> np.ndarray:
+        C = self.eb_tables.cdf_length.shape[0]
+        idx = np.ascontiguousarray(
+            np.broadcast_to(np.arange(C, dtype=np.int32), (*shape, C)))
+        return np.stack([
+            RansDecoder(s).decode_stream(idx, self.eb_tables.quantized_cdf,
+                                         self.eb_tables.cdf_length,
+                                         self.eb_tables.offset)
+            for s in strings])
+
+    def compress(self, x: jax.Array) -> Dict:
+        if self.gauss_tables is None:
+            raise RuntimeError("call update() first")
+        start = time.time()
+        y, z_sym = self._enc_analysis(x)
+        hyper, a_idx, ma_p = self._dec_anchor(z_sym)
+        a_sym = self._enc_symbols(y, ma_p, CHENG_ANCHOR)
+        _, n_idx, mn_p = self._dec_nonanchor(hyper, a_sym, ma_p)
+        n_sym = self._enc_symbols(y, mn_p, CHENG_NONANCHOR)
+
+        gt = self.gauss_tables
+        a_sym_np, a_idx_np = np.asarray(a_sym), np.asarray(a_idx)
+        n_sym_np, n_idx_np = np.asarray(n_sym), np.asarray(n_idx)
+        y_strings = []
+        for i in range(a_sym_np.shape[0]):
+            enc = BufferedRansEncoder()
+            enc.encode_with_indexes(a_sym_np[i].ravel(), a_idx_np[i].ravel(),
+                                    gt.quantized_cdf, gt.cdf_length, gt.offset)
+            enc.encode_with_indexes(n_sym_np[i].ravel(), n_idx_np[i].ravel(),
+                                    gt.quantized_cdf, gt.cdf_length, gt.offset)
+            y_strings.append(enc.flush())
+        z_strings = self._eb_encode(np.asarray(z_sym))
+        return {
+            "strings": [y_strings, z_strings],
+            "shape": (int(z_sym.shape[1]), int(z_sym.shape[2])),
+            "time": time.time() - start,
+        }
+
+    def decompress(self, strings, shape) -> Dict:
+        if self.gauss_tables is None:
+            raise RuntimeError("call update() first")
+        start = time.time()
+        z_sym = self._eb_decode(strings[1], shape)
+        hyper, a_idx, ma_p = self._dec_anchor(jnp.asarray(z_sym))
+
+        gt = self.gauss_tables
+        a_idx_np = np.asarray(a_idx)
+        decoders = [RansDecoder(s) for s in strings[0]]
+        a_sym = np.stack([
+            d.decode_stream(a_idx_np[i], gt.quantized_cdf, gt.cdf_length, gt.offset)
+            for i, d in enumerate(decoders)])
+        y_anchor_hat, n_idx, mn_p = self._dec_nonanchor(
+            hyper, jnp.asarray(a_sym), ma_p)
+        n_idx_np = np.asarray(n_idx)
+        n_sym = np.stack([
+            d.decode_stream(n_idx_np[i], gt.quantized_cdf, gt.cdf_length, gt.offset)
+            for i, d in enumerate(decoders)])
+        x_hat = self._dec_synthesis(y_anchor_hat, jnp.asarray(n_sym), mn_p)
+        x_hat.block_until_ready()
+        return {"x_hat": x_hat, "time": time.time() - start}
+
+    def inference(self, x: jax.Array) -> Dict:
+        comp = self.compress(x)
+        dec = self.decompress(comp["strings"], comp["shape"])
+        return {
+            "x_hat": dec["x_hat"],
+            "time": {"compression": comp["time"],
+                     "decompression": dec["time"],
+                     "total": comp["time"] + dec["time"]},
+        }

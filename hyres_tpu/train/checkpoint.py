@@ -31,6 +31,9 @@ def _to_numpy(tree):
 
 
 def save_checkpoint(state_dict: Dict[str, Any], path: str):
+    # to_state_dict flattens custom pytree nodes (optax states, TrainState)
+    # into plain dicts that msgpack can serialize
+    state_dict = flax.serialization.to_state_dict(state_dict)
     data = flax.serialization.msgpack_serialize(_to_numpy(state_dict))
     tmp = str(path) + ".tmp"
     with open(tmp, "wb") as f:
