@@ -58,6 +58,8 @@ def parse_args(argv=None):
     p.add_argument("--gpu-id", type=str, default="0", help="ignored (auto device)")
     p.add_argument("--savepath", type=str, default="./checkpoints")
     p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--logdir", type=str, default=None,
+                   help="TensorBoard log directory (reference training.py:210)")
     p.add_argument("--noise-epochs", type=int, default=400,
                    help="epochs of noise quantization before STE switch")
     p.add_argument("--steps-per-epoch", type=int, default=None,
@@ -77,6 +79,9 @@ def main(argv=None):
         restore_into, run_eval, save_checkpoint, set_main_lr, get_main_lr,
     )
 
+    from ..utils.logging import ScalarLogger
+
+    logger = ScalarLogger(args.logdir)
     save_dir = Path(args.savepath)
     save_dir.mkdir(parents=True, exist_ok=True)
 
@@ -174,6 +179,10 @@ def main(argv=None):
 
         eval_metrics = run_eval(eval_fn, state.params, test_batches)
         loss = eval_metrics["loss"]
+        logger.log("Train", {"loss": run_loss / max(n_steps, 1),
+                             "mse": run_mse / max(n_steps, 1),
+                             "bpp": run_bpp / max(n_steps, 1)}, epoch)
+        logger.log("Test", eval_metrics, epoch)
         print(f"epoch {epoch}: train_loss={run_loss/max(n_steps,1):.4f} "
               f"test_loss={loss:.4f} test_psnr={eval_metrics['psnr']:.2f} "
               f"test_bpp={eval_metrics['bpp_loss']:.4f} "

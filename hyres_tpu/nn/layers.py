@@ -370,7 +370,10 @@ class _DilatedBlock(nn.Module):
 
 
 def _resize_bilinear(x: jax.Array, h: int, w: int) -> jax.Array:
-    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method="bilinear")
+    # antialias=False matches torch F.interpolate(align_corners=False)
+    # semantics for both down- and upsampling (reference enhancement.py:96-103)
+    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]),
+                            method="bilinear", antialias=False)
 
 
 class MultiScaleRefine(nn.Module):

@@ -1,0 +1,310 @@
+"""Converter parity: torch modules (reference architecture) -> JAX.
+
+Builds torch modules with the reference's layer structure and state-dict
+naming (conv/GDN/RBB/attention stacks per
+/root/reference/models/checkerboard.py:35-88, enhancement.py:55-113),
+converts the weights, and checks forward-output parity torch vs flax.
+This exercises the exact mapping the .pth importer uses.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+from hyres_tpu.models.checkerboard import (
+    AnalysisTransform,
+    HyperAnalysis,
+    HyperSynthesis,
+    ParamAggregation,
+    SynthesisTransform,
+)
+from hyres_tpu.nn import CheckboardMaskedConv, MultiScaleRefine
+from hyres_tpu.utils import torch_convert as tc
+
+torch.manual_seed(0)
+
+
+# ---- torch reference-architecture building blocks (test-local) -----------
+
+
+def tconv(cin, cout, k=5, s=2):
+    return tnn.Conv2d(cin, cout, k, stride=s, padding=k // 2)
+
+
+def tdeconv(cin, cout, k=5, s=2):
+    return tnn.ConvTranspose2d(cin, cout, k, stride=s, padding=k // 2,
+                               output_padding=s - 1)
+
+
+class TGDN(tnn.Module):
+    """CompressAI-style GDN with reparameterized storage."""
+
+    def __init__(self, C, inverse=False):
+        super().__init__()
+        self.inverse = inverse
+        ped = (2.0 ** -18) ** 2
+        self.beta = tnn.Parameter(torch.sqrt(torch.ones(C) + ped))
+        self.gamma = tnn.Parameter(torch.sqrt(0.1 * torch.eye(C) + ped))
+
+    def forward(self, x):
+        C = x.shape[1]
+        ped = (2.0 ** -18) ** 2
+        beta = torch.clamp(self.beta, min=(1e-6 + ped) ** 0.5) ** 2 - ped
+        gamma = torch.clamp(self.gamma, min=(0 + ped) ** 0.5) ** 2 - ped
+        norm = F.conv2d(x * x, gamma.view(C, C, 1, 1), beta)
+        return x * torch.sqrt(norm) if self.inverse else x * torch.rsqrt(norm)
+
+
+class TRBB(tnn.Module):
+    def __init__(self, C):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(C, C // 2, 1)
+        self.conv2 = tnn.Conv2d(C // 2, C // 2, 3, padding=1)
+        self.conv3 = tnn.Conv2d(C // 2, C, 1)
+
+    def forward(self, x):
+        h = F.relu(self.conv1(x))
+        h = F.relu(self.conv2(h))
+        return x + self.conv3(h)
+
+
+class TRU(tnn.Module):
+    def __init__(self, C):
+        super().__init__()
+        self.conv = tnn.Sequential(
+            tnn.Conv2d(C, C // 2, 1), tnn.ReLU(),
+            tnn.Conv2d(C // 2, C // 2, 3, padding=1), tnn.ReLU(),
+            tnn.Conv2d(C // 2, C, 1))
+
+    def forward(self, x):
+        return F.relu(x + self.conv(x))
+
+
+class TAttention(tnn.Module):
+    def __init__(self, C):
+        super().__init__()
+        self.conv_a = tnn.Sequential(TRU(C), TRU(C), TRU(C))
+        self.conv_b = tnn.Sequential(TRU(C), TRU(C), TRU(C), tnn.Conv2d(C, C, 1))
+
+    def forward(self, x):
+        return x + self.conv_a(x) * torch.sigmoid(self.conv_b(x))
+
+
+def build_torch_ga(N, M):
+    return tnn.Sequential(tconv(3, N), TGDN(N), TRBB(N), TAttention(N),
+                          tconv(N, N), TGDN(N), TRBB(N), tconv(N, M),
+                          TAttention(M))
+
+
+def build_torch_gs(N, M):
+    return tnn.Sequential(TAttention(M), tdeconv(M, N), TRBB(N), TGDN(N, True),
+                          tdeconv(N, N), TAttention(N), TRBB(N), TGDN(N, True),
+                          tdeconv(N, 3))
+
+
+def _cmp(t_out, j_out, atol=1e-4):
+    t_np = t_out.detach().numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(j_out), t_np, atol=atol)
+
+
+def test_analysis_transform_parity():
+    N, M = 8, 12
+    tga = build_torch_ga(N, M)
+    x = torch.rand(1, 3, 32, 32)
+    want = tga(x)
+
+    tree = tc._convert_sequential(
+        {k: v.numpy() for k, v in tga.state_dict().items()}, tc._GA_LAYERS)
+    model = AnalysisTransform(N, M)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    ref = model.init(jax.random.key(0), xj)
+    got = model.apply({"params": tree}, xj)
+    _cmp(want, got)
+
+
+def test_synthesis_transform_parity():
+    N, M = 8, 12
+    tgs = build_torch_gs(N, M)
+    y = torch.rand(1, M, 4, 4)
+    want = tgs(y)
+    tree = tc._convert_sequential(
+        {k: v.numpy() for k, v in tgs.state_dict().items()}, tc._GS_LAYERS)
+    model = SynthesisTransform(N)
+    yj = jnp.asarray(y.numpy().transpose(0, 2, 3, 1))
+    got = model.apply({"params": tree}, yj)
+    _cmp(want, got)
+
+
+def test_hyper_and_aggregation_parity():
+    N, M = 8, 12
+    th_a = tnn.Sequential(tnn.Conv2d(M, N, 3, padding=1), tnn.ReLU(),
+                          tconv(N, N), tnn.ReLU(), tconv(N, N))
+    th_s = tnn.Sequential(tdeconv(N, N), tnn.ReLU(),
+                          tdeconv(N, N * 3 // 2), tnn.ReLU(),
+                          tnn.Conv2d(N * 3 // 2, 2 * M, 3, padding=1))
+    tpa = tnn.Sequential(tnn.Conv2d(4 * M, 640, 1), tnn.ReLU(),
+                         tnn.Conv2d(640, 512, 1), tnn.ReLU(),
+                         tnn.Conv2d(512, 2 * M, 1))
+    y = torch.rand(1, M, 8, 8)
+    z = th_a(y)
+    lp = th_s(z)
+    pa_in = torch.cat([lp, torch.zeros_like(lp)], 1)
+    want = tpa(pa_in)
+
+    sd = lambda m: {k: v.numpy() for k, v in m.state_dict().items()}
+    ha = HyperAnalysis(N)
+    hs = HyperSynthesis(N, M)
+    pa = ParamAggregation(M)
+    yj = jnp.asarray(y.numpy().transpose(0, 2, 3, 1))
+    zj = ha.apply({"params": tc._convert_sequential(sd(th_a), tc._HA_LAYERS)}, yj)
+    _cmp(z, zj)
+    lpj = hs.apply({"params": tc._convert_sequential(sd(th_s), tc._HS_LAYERS)}, zj)
+    _cmp(lp, lpj, atol=2e-4)
+    paj = pa.apply({"params": tc._convert_sequential(sd(tpa), tc._PA_LAYERS)},
+                   jnp.concatenate([lpj, jnp.zeros_like(lpj)], axis=-1))
+    _cmp(want, paj, atol=5e-4)
+
+
+def test_masked_conv_parity():
+    M = 12
+    tcp = tnn.Conv2d(M, 2 * M, 5, padding=2)
+    with torch.no_grad():
+        mask = torch.zeros_like(tcp.weight)
+        mask[:, :, 0::2, 1::2] = 1
+        mask[:, :, 1::2, 0::2] = 1
+        tcp.weight.mul_(mask)
+    x = torch.rand(1, M, 8, 8)
+    want = tcp(x)
+    sub = {k: v.numpy() for k, v in tcp.state_dict().items()}
+    tree = tc._deconv_like_masked(sub)
+    model = CheckboardMaskedConv(2 * M)
+    got = model.apply({"params": tree},
+                      jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    _cmp(want, got)
+
+
+class TSE(tnn.Module):
+    def __init__(self, C, r=16):
+        super().__init__()
+        self.fc = tnn.Sequential(tnn.Linear(C, C // r, bias=False), tnn.ReLU(),
+                                 tnn.Linear(C // r, C, bias=False), tnn.Sigmoid())
+
+    def forward(self, x):
+        b, c = x.shape[0], x.shape[1]
+        y = x.mean(dim=(2, 3))
+        return x * self.fc(y).view(b, c, 1, 1)
+
+
+class TSpatialAtt(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv = tnn.Conv2d(2, 1, 7, padding=3, bias=False)
+
+    def forward(self, x):
+        avg = x.mean(dim=1, keepdim=True)
+        mx = x.max(dim=1, keepdim=True)[0]
+        return torch.sigmoid(self.conv(torch.cat([avg, mx], 1)))
+
+
+class TRefine(tnn.Module):
+    """Reference MultiScaleRefine structure with its state-dict names."""
+
+    def __init__(self, mid=64):
+        super().__init__()
+        self.conv_in = tnn.Conv2d(3, mid, 3, padding=1)
+        self.act_in = tnn.PReLU()
+        self.se_block = TSE(mid)
+
+        def block():
+            return tnn.Sequential(
+                tnn.Conv2d(mid, mid, 3, padding=1, dilation=1), tnn.PReLU(),
+                tnn.Conv2d(mid, mid, 3, padding=2, dilation=2), tnn.PReLU())
+
+        self.scale1, self.scale2, self.scale3 = block(), block(), block()
+        self.spatial_att = TSpatialAtt()
+        self.fusion = tnn.Sequential(tnn.Conv2d(mid * 3, mid, 1), tnn.PReLU(),
+                                     tnn.Conv2d(mid, 3, 3, padding=1))
+
+    def forward(self, x):
+        f = self.se_block(self.act_in(self.conv_in(x)))
+        f1 = self.scale1(f)
+        f2 = F.interpolate(f, scale_factor=0.5, mode="bilinear",
+                           align_corners=False)
+        f2 = F.interpolate(self.scale2(f2), size=f.shape[2:], mode="bilinear",
+                           align_corners=False)
+        f3 = F.interpolate(f, scale_factor=0.25, mode="bilinear",
+                           align_corners=False)
+        f3 = F.interpolate(self.scale3(f3), size=f.shape[2:], mode="bilinear",
+                           align_corners=False)
+        multi = torch.cat([f1, f2, f3], 1)
+        return self.fusion(multi * self.spatial_att(multi))
+
+
+def test_refine_parity():
+    tr = TRefine()
+    x = torch.rand(1, 3, 32, 32)
+    want = tr(x)
+    tree = tc.convert_refine({k: v.numpy() for k, v in tr.state_dict().items()})
+    model = MultiScaleRefine()
+    got = model.apply({"params": tree},
+                      jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    _cmp(want, got, atol=5e-4)
+
+
+def test_export_roundtrip():
+    """convert -> export -> convert is the identity."""
+    N, M = 8, 12
+    tga = build_torch_ga(N, M)
+    sd = {f"g_a.{k}": v.numpy() for k, v in tga.state_dict().items()}
+    # add the rest with minimal fake modules so convert_checkerboard runs
+    tgs = build_torch_gs(N, M)
+    sd.update({f"g_s.{k}": v.numpy() for k, v in tgs.state_dict().items()})
+    th_a = tnn.Sequential(tnn.Conv2d(M, N, 3, padding=1), tnn.ReLU(),
+                          tconv(N, N), tnn.ReLU(), tconv(N, N))
+    sd.update({f"h_a.{k}": v.numpy() for k, v in th_a.state_dict().items()})
+    th_s = tnn.Sequential(tdeconv(N, N), tnn.ReLU(), tdeconv(N, N * 3 // 2),
+                          tnn.ReLU(), tnn.Conv2d(N * 3 // 2, 2 * M, 3, padding=1))
+    sd.update({f"h_s.{k}": v.numpy() for k, v in th_s.state_dict().items()})
+    tpa = tnn.Sequential(tnn.Conv2d(4 * M, 640, 1), tnn.ReLU(),
+                         tnn.Conv2d(640, 512, 1), tnn.ReLU(),
+                         tnn.Conv2d(512, 2 * M, 1))
+    sd.update({f"param_aggregation.{k}": v.numpy()
+               for k, v in tpa.state_dict().items()})
+    tcp = tnn.Conv2d(M, 2 * M, 5, padding=2)
+    sd.update({f"context_prediction.{k}": v.numpy()
+               for k, v in tcp.state_dict().items()})
+    # EB params with compressai naming
+    sd["entropy_bottleneck.quantiles"] = np.random.randn(N, 1, 3).astype(np.float32)
+    filters = (1, 3, 3, 3, 3, 1)
+    for k in range(5):
+        sd[f"entropy_bottleneck._matrices.{k}"] = np.random.randn(
+            N, filters[k + 1], filters[k]).astype(np.float32)
+        sd[f"entropy_bottleneck._biases.{k}"] = np.random.randn(
+            N, filters[k + 1], 1).astype(np.float32)
+        if k < 4:
+            sd[f"entropy_bottleneck._factors.{k}"] = np.random.randn(
+                N, filters[k + 1], 1).astype(np.float32)
+
+    tree = tc.convert_checkerboard(sd)
+    back = tc.export_checkerboard(tree)
+    tree2 = tc.convert_checkerboard(back)
+    for (p1, a), (p2, b) in zip(
+            sorted(_flatten(tree)), sorted(_flatten(tree2))):
+        assert p1 == p2
+        np.testing.assert_allclose(a, b, atol=0)
+
+
+def _flatten(tree, prefix=()):
+    out = []
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.extend(_flatten(v, prefix + (k,)))
+        else:
+            out.append(("/".join(prefix + (k,)), v))
+    return out
