@@ -227,6 +227,85 @@ void hyc_dec_stream(void *d_, const int32_t *indexes, int64_t n,
   }
 }
 
+// ---- O(1) decode via symbol lookup tables ------------------------------------
+// One 2^16-entry uint16 table per CDF row: cum -> symbol. Built once per
+// baked table set (deployment artifact), reused across every decode.
+
+struct SymbolLut {
+  std::vector<uint16_t> lut;  // rows * (1 << kPrecision)
+  int32_t rows;
+};
+
+void *hyc_lut_new(const int32_t *cdfs, int32_t cdf_stride,
+                  const int32_t *cdf_lengths, int32_t rows) {
+  SymbolLut *l = new SymbolLut();
+  l->rows = rows;
+  l->lut.resize(static_cast<size_t>(rows) << kPrecision);
+  for (int32_t r = 0; r < rows; ++r) {
+    const int32_t *cdf = cdf_row(cdfs, cdf_stride, r);
+    uint16_t *dst = l->lut.data() + (static_cast<size_t>(r) << kPrecision);
+    const int32_t nsym = cdf_lengths[r] - 1;
+    for (int32_t s = 0; s < nsym; ++s) {
+      for (int32_t c = cdf[s]; c < cdf[s + 1]; ++c) {
+        dst[c] = static_cast<uint16_t>(s);
+      }
+    }
+  }
+  return l;
+}
+
+void hyc_lut_free(void *l) { delete static_cast<SymbolLut *>(l); }
+
+void hyc_dec_stream_lut(void *d_, void *l_, const int32_t *indexes, int64_t n,
+                        const int32_t *cdfs, int32_t cdf_stride,
+                        const int32_t *cdf_lengths, const int32_t *offsets,
+                        int32_t *out) {
+  Decoder &d = *static_cast<Decoder *>(d_);
+  SymbolLut &l = *static_cast<SymbolLut *>(l_);
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    const int32_t *cdf = cdf_row(cdfs, cdf_stride, idx);
+    const int32_t max_value = cdf_lengths[idx] - 2;
+
+    const uint32_t cum = static_cast<uint32_t>(d.st) & ((1u << kPrecision) - 1);
+    // hybrid: short CDF rows (sharply peaked) decode faster with a linear
+    // scan (cache-resident); long rows use the O(1) table
+    int32_t s;
+    if (cdf_lengths[idx] <= 32) {
+      s = 0;
+      while (static_cast<uint32_t>(cdf[s + 1]) <= cum) ++s;
+    } else {
+      s = l.lut[(static_cast<size_t>(idx) << kPrecision) | cum];
+    }
+
+    const uint32_t start = static_cast<uint32_t>(cdf[s]);
+    const uint32_t freq = static_cast<uint32_t>(cdf[s + 1]) - start;
+    d.st = freq * (d.st >> kPrecision) + cum - start;
+    dec_renorm(d.st, d.ptr);
+
+    int32_t value = s;
+    if (value == max_value) {
+      uint32_t v = dec_get_bits(d.st, d.ptr, kBypassBits);
+      uint32_t n_chunks = v;
+      while (v == kMaxBypass) {
+        v = dec_get_bits(d.st, d.ptr, kBypassBits);
+        n_chunks += v;
+      }
+      uint32_t raw_val = 0;
+      for (uint32_t j = 0; j < n_chunks; ++j) {
+        raw_val |= dec_get_bits(d.st, d.ptr, kBypassBits) << (j * kBypassBits);
+      }
+      value = static_cast<int32_t>(raw_val >> 1);
+      if (raw_val & 1) {
+        value = -value - 1;
+      } else {
+        value += max_value;
+      }
+    }
+    out[i] = value + offsets[idx];
+  }
+}
+
 // ---- PMF -> quantized CDF ---------------------------------------------------
 // Same construction as tensorflow-compression / the reference's
 // `_CXX.pmf_to_quantized_cdf` dependency (triggered via

@@ -39,6 +39,19 @@ _lib.hyc_dec_stream.argtypes = [
     ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
     ctypes.POINTER(ctypes.c_int32),
 ]
+_lib.hyc_lut_new.argtypes = [
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+]
+_lib.hyc_lut_new.restype = ctypes.c_void_p
+_lib.hyc_lut_free.argtypes = [ctypes.c_void_p]
+_lib.hyc_dec_stream_lut.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+    ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ctypes.POINTER(ctypes.c_int32),
+]
 
 
 def _i32(a: np.ndarray) -> np.ndarray:
@@ -85,6 +98,25 @@ class RansEncoder:
         return enc.flush()
 
 
+class RansLut:
+    """Per-table O(1) symbol lookup (2^16 uint16 entries per CDF row).
+
+    Build once per baked table set; reuse across every decode. Keeps the
+    owning arrays alive so the C side can read the CDF rows.
+    """
+
+    def __init__(self, cdfs, cdf_lengths):
+        self.cdfs = _i32(cdfs)
+        self.cdf_lengths = _i32(cdf_lengths)
+        self._h = _lib.hyc_lut_new(_ptr(self.cdfs), self.cdfs.shape[1],
+                                   _ptr(self.cdf_lengths), self.cdfs.shape[0])
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            _lib.hyc_lut_free(self._h)
+            self._h = None
+
+
 class RansDecoder:
     def __init__(self, data: bytes | None = None):
         self._h = None
@@ -102,16 +134,24 @@ class RansDecoder:
         buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
         self._h = _lib.hyc_dec_new(buf, len(data))
 
-    def decode_stream(self, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
+    def decode_stream(self, indexes, cdfs, cdf_lengths, offsets,
+                      lut: "RansLut | None" = None) -> np.ndarray:
         indexes = _i32(indexes)
         flat = indexes.ravel()
         cdfs = _i32(cdfs)
         out = np.empty(flat.size, np.int32)
-        _lib.hyc_dec_stream(
-            self._h, _ptr(flat), flat.size,
-            _ptr(cdfs), cdfs.shape[1], _ptr(_i32(cdf_lengths)), _ptr(_i32(offsets)),
-            _ptr(out),
-        )
+        if lut is not None:
+            _lib.hyc_dec_stream_lut(
+                self._h, lut._h, _ptr(flat), flat.size,
+                _ptr(cdfs), cdfs.shape[1], _ptr(_i32(cdf_lengths)),
+                _ptr(_i32(offsets)), _ptr(out),
+            )
+        else:
+            _lib.hyc_dec_stream(
+                self._h, _ptr(flat), flat.size,
+                _ptr(cdfs), cdfs.shape[1], _ptr(_i32(cdf_lengths)),
+                _ptr(_i32(offsets)), _ptr(out),
+            )
         return out.reshape(indexes.shape)
 
     def decode_with_indexes(self, data: bytes, indexes, cdfs, cdf_lengths, offsets):

@@ -26,7 +26,7 @@ from ..entropy import (
 )
 from ..nn import checkerboard
 from .cheng2020 import CHENG_ANCHOR, CHENG_NONANCHOR
-from .codec import _encode_planes
+from .codec import _encode_planes, _lut_for
 
 
 class Cheng2020Codec:
@@ -121,7 +121,8 @@ class Cheng2020Codec:
         return np.stack([
             RansDecoder(s).decode_stream(idx, self.eb_tables.quantized_cdf,
                                          self.eb_tables.cdf_length,
-                                         self.eb_tables.offset)
+                                         self.eb_tables.offset,
+                                         lut=_lut_for(self.eb_tables))
             for s in strings])
 
     def compress(self, x: jax.Array) -> Dict:
@@ -163,13 +164,15 @@ class Cheng2020Codec:
         a_idx_np = np.asarray(a_idx)
         decoders = [RansDecoder(s) for s in strings[0]]
         a_sym = np.stack([
-            d.decode_stream(a_idx_np[i], gt.quantized_cdf, gt.cdf_length, gt.offset)
+            d.decode_stream(a_idx_np[i], gt.quantized_cdf, gt.cdf_length,
+                            gt.offset, lut=_lut_for(gt))
             for i, d in enumerate(decoders)])
         y_anchor_hat, n_idx, mn_p = self._dec_nonanchor(
             hyper, jnp.asarray(a_sym), ma_p)
         n_idx_np = np.asarray(n_idx)
         n_sym = np.stack([
-            d.decode_stream(n_idx_np[i], gt.quantized_cdf, gt.cdf_length, gt.offset)
+            d.decode_stream(n_idx_np[i], gt.quantized_cdf, gt.cdf_length,
+                            gt.offset, lut=_lut_for(gt))
             for i, d in enumerate(decoders)])
         x_hat = self._dec_synthesis(y_anchor_hat, jnp.asarray(n_sym), mn_p)
         x_hat.block_until_ready()

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..coding import BufferedRansEncoder, RansDecoder
+from ..coding.rans import RansLut
 from ..entropy import (
     CdfTables,
     build_bottleneck_tables,
@@ -37,6 +38,15 @@ from ..entropy import (
 )
 from ..nn import checkerboard
 from ..nn.checkerboard import ANCHOR, NON_ANCHOR
+
+
+def _lut_for(t: CdfTables) -> RansLut:
+    """O(1)-decode symbol LUT, built once per baked table set."""
+    lut = getattr(t, "_lut", None)
+    if lut is None:
+        lut = RansLut(t.quantized_cdf, t.cdf_length)
+        t._lut = lut
+    return lut
 
 
 def _encode_planes(symbols: np.ndarray, indexes: np.ndarray, t: CdfTables) -> List[bytes]:
@@ -51,10 +61,12 @@ def _encode_planes(symbols: np.ndarray, indexes: np.ndarray, t: CdfTables) -> Li
 
 
 def _decode_planes(strings: Sequence[bytes], indexes: np.ndarray, t: CdfTables) -> np.ndarray:
+    lut = _lut_for(t)
     outs = []
     for i, s in enumerate(strings):
         dec = RansDecoder(s)
-        outs.append(dec.decode_stream(indexes[i], t.quantized_cdf, t.cdf_length, t.offset))
+        outs.append(dec.decode_stream(indexes[i], t.quantized_cdf, t.cdf_length,
+                                      t.offset, lut=lut))
     return np.stack(outs)
 
 
@@ -170,7 +182,9 @@ class CheckerboardCodec:
         idx = np.ascontiguousarray(idx)
         return np.stack([
             RansDecoder(s).decode_stream(idx, self.eb_tables.quantized_cdf,
-                                         self.eb_tables.cdf_length, self.eb_tables.offset)
+                                         self.eb_tables.cdf_length,
+                                         self.eb_tables.offset,
+                                         lut=_lut_for(self.eb_tables))
             for s in strings
         ])
 

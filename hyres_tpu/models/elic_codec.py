@@ -32,7 +32,7 @@ from ..entropy import (
 )
 from ..nn import checkerboard
 from ..nn.checkerboard import ANCHOR, NON_ANCHOR
-from .codec import _decode_planes, _encode_planes
+from .codec import _decode_planes, _encode_planes, _lut_for
 
 
 class ElicCodec:
@@ -140,7 +140,8 @@ class ElicCodec:
         return np.stack([
             RansDecoder(s).decode_stream(idx, self.eb_tables.quantized_cdf,
                                          self.eb_tables.cdf_length,
-                                         self.eb_tables.offset)
+                                         self.eb_tables.offset,
+                                         lut=_lut_for(self.eb_tables))
             for s in strings])
 
     def _slice_bounds(self):
