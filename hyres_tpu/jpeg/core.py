@@ -94,20 +94,45 @@ def _round_away(x: jax.Array) -> jax.Array:
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
 
+def _use_pallas() -> bool:
+    import os
+
+    mode = os.environ.get("HYRES_DCT_KERNEL", "auto")
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def fdct_quant(plane: jax.Array, qtbl: jax.Array) -> jax.Array:
     """Plane [0,255] → quantized coefficients (B, nh, nw, 8, 8) int32.
 
-    Two MXU matmuls per block batch: D @ (block - 128) @ D^T.
+    On TPU: fused Pallas kernel (kernels/dct.py) — one (T,64)x(64,64) MXU
+    matmul per tile with quantization fused. Elsewhere: XLA einsum.
     """
+    blocks = _blockify(plane)
+    B, nh, nw = blocks.shape[:3]
+    if _use_pallas():
+        from ..kernels.dct import fdct_quant_blocks
+
+        flat = blocks.reshape(B * nh * nw, 64)
+        return fdct_quant_blocks(flat, qtbl).reshape(B, nh, nw, 8, 8)
     d = dct_matrix(plane.dtype)
-    blocks = _blockify(plane) - 128.0
-    coef = jnp.einsum("ux,bijxy,vy->bijuv", d, blocks, d)
+    coef = jnp.einsum("ux,bijxy,vy->bijuv", d, blocks - 128.0, d)
     q = _round_away(coef / qtbl.reshape(8, 8).astype(coef.dtype))
     return jnp.clip(q, -1023, 1023).astype(jnp.int32)
 
 
 def dequant_idct(coef: jax.Array, qtbl: jax.Array) -> jax.Array:
     """Quantized coefficients → plane in [0,255]."""
+    B, nh, nw = coef.shape[:3]
+    if _use_pallas():
+        from ..kernels.dct import dequant_idct_blocks
+
+        flat = coef.reshape(B * nh * nw, 64)
+        pix = dequant_idct_blocks(flat, qtbl).reshape(B, nh, nw, 8, 8)
+        return _unblockify(pix)
     d = dct_matrix(jnp.float32)
     c = coef.astype(jnp.float32) * qtbl.reshape(8, 8).astype(jnp.float32)
     blocks = jnp.einsum("xu,bijuv,yv->bijxy", d.T, c, d.T) + 128.0
