@@ -30,6 +30,8 @@ def parse_args(argv=None):
                    choices=["hyres", "checkerboard", "elic", "cheng2020"])
     p.add_argument("--save-components", action="store_true")
     p.add_argument("--cuda", action="store_true", help="ignored (auto device)")
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace of the roundtrips here")
     return p.parse_args(argv)
 
 
@@ -131,10 +133,17 @@ def main(argv=None):
     if not files:
         raise SystemExit(f"no images found at {args.input}")
 
+    import contextlib
+
+    import jax
+
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
     rows = []
-    for f in files:
-        r = process_image(codec, f, outdir, args.save_components)
-        rows.append(r)
+    with prof:
+        for f in files:
+            r = process_image(codec, f, outdir, args.save_components)
+            rows.append(r)
         print(f"{r['filename']}: bpp={r['total_bpp']:.4f} "
               f"(jpeg {r['jpeg_bpp']:.4f} y {r['y_bpp']:.4f} z {r['z_bpp']:.4f}) "
               f"psnr={r['psnr']:.2f} ms-ssim={r['ms_ssim']:.4f} "

@@ -219,6 +219,23 @@ def main(argv=None):
                 w = csv.writer(f)
                 w.writerow(sorted(eval_metrics))
                 w.writerow([eval_metrics[k] for k in sorted(eval_metrics)])
+            # best-model reconstruction dumps of the first val images
+            # (reference engine.py:157-180: original/recon/jpeg/residual/
+            # residual_hat, residuals visualized as x*0.5+0.5)
+            from ..train import save_image
+            img_dir = save_dir / "best_images"
+            img_dir.mkdir(exist_ok=True)
+            _, out = eval_fn(state.params, jnp.asarray(test_batches[0]))
+            for i in range(min(6, test_batches[0].shape[0])):
+                save_image(np.asarray(out["x_hat"][i]), img_dir / f"{i}_recon.png")
+                save_image(test_batches[0][i], img_dir / f"{i}_original.png")
+                if "jpeg_decoded" in out:
+                    save_image(np.asarray(out["jpeg_decoded"][i]),
+                               img_dir / f"{i}_jpeg.png")
+                    save_image(np.asarray(out["residual"][i] * 0.5 + 0.5),
+                               img_dir / f"{i}_residual.png")
+                    save_image(np.asarray(out["residual_hat"][i] * 0.5 + 0.5),
+                               img_dir / f"{i}_residual_hat.png")
     print("training done")
 
 
