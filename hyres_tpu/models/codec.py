@@ -19,6 +19,7 @@ decode are two compiled XLA calls.
 
 from __future__ import annotations
 
+import concurrent.futures
 import functools
 import time
 from typing import Dict, List, Sequence, Tuple
@@ -49,25 +50,38 @@ def _lut_for(t: CdfTables) -> RansLut:
     return lut
 
 
+_CODER_POOL = concurrent.futures.ThreadPoolExecutor(8)
+
+
 def _encode_planes(symbols: np.ndarray, indexes: np.ndarray, t: CdfTables) -> List[bytes]:
-    """Per-image rANS encode of (B, ...) int32 symbol/index arrays."""
-    out = []
-    for i in range(symbols.shape[0]):
+    """Per-image rANS encode of (B, ...) int32 symbol/index arrays.
+
+    Batched images code in parallel threads — ctypes releases the GIL
+    during the C call, so this is real parallelism on host cores.
+    """
+
+    def one(i):
         enc = BufferedRansEncoder()
         enc.encode_with_indexes(symbols[i].ravel(), indexes[i].ravel(),
                                 t.quantized_cdf, t.cdf_length, t.offset)
-        out.append(enc.flush())
-    return out
+        return enc.flush()
+
+    if symbols.shape[0] == 1:
+        return [one(0)]
+    return list(_CODER_POOL.map(one, range(symbols.shape[0])))
 
 
 def _decode_planes(strings: Sequence[bytes], indexes: np.ndarray, t: CdfTables) -> np.ndarray:
     lut = _lut_for(t)
-    outs = []
-    for i, s in enumerate(strings):
-        dec = RansDecoder(s)
-        outs.append(dec.decode_stream(indexes[i], t.quantized_cdf, t.cdf_length,
-                                      t.offset, lut=lut))
-    return np.stack(outs)
+
+    def one(args):
+        i, s = args
+        return RansDecoder(s).decode_stream(indexes[i], t.quantized_cdf,
+                                            t.cdf_length, t.offset, lut=lut)
+
+    if len(strings) == 1:
+        return np.stack([one((0, strings[0]))])
+    return np.stack(list(_CODER_POOL.map(one, enumerate(strings))))
 
 
 class CheckerboardCodec:

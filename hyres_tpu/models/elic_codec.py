@@ -156,9 +156,17 @@ class ElicCodec:
     def compress(self, x: jax.Array) -> Dict:
         if self.gauss_tables is None:
             raise RuntimeError("call update() first")
+        # per-stage timers are part of the reference's return contract
+        # (elic.py:414-431: y_enc / z_enc / z_dec / params)
         t_start = time.time()
         y, z_sym = self._enc_analysis(x)
+        jax.block_until_ready(z_sym)
+        t_y_enc = time.time() - t_start
+        t0 = time.time()
         means, scales = self._dec_hyper(z_sym)
+        jax.block_until_ready(means)
+        t_z_dec = time.time() - t0
+        t_params = time.time()
         y_slices = jnp.split(y, self._slice_bounds(), axis=-1)
 
         y_strings: List[List[bytes]] = []
@@ -178,11 +186,16 @@ class ElicCodec:
             y_strings.append(_encode_planes(np.asarray(n_sym), np.asarray(n_idx), gt))
             y_hat_slices.append(self._dec_combine(y_anchor_hat, n_sym, mn_p))
 
+        t_params = time.time() - t_params
+        t0 = time.time()
         z_strings = self._eb_encode(np.asarray(z_sym))
+        t_z_enc = time.time() - t0
         return {
             "strings": [y_strings, z_strings],
             "shape": (int(z_sym.shape[1]), int(z_sym.shape[2])),
             "time": time.time() - t_start,
+            "stage_times": {"y_enc": t_y_enc, "z_enc": t_z_enc,
+                            "z_dec": t_z_dec, "params": t_params},
         }
 
     def decompress(self, strings, shape) -> Dict:
