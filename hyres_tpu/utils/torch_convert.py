@@ -208,6 +208,41 @@ def _deconv_like_masked(sub: TorchSD) -> Tree:
 
 
 # ---------------------------------------------------------------------------
+# LightWeightELIC (reference elic.py:26-134)
+# ---------------------------------------------------------------------------
+
+_CC_LAYERS = [("0", "Conv_0", "conv"), ("2", "Conv_1", "conv"),
+              ("4", "Conv_2", "conv")]
+
+
+def convert_elic(sd: TorchSD, num_slices: int = 5) -> Tree:
+    """torch LightWeightELIC state_dict -> flax params subtree.
+
+    Per-slice modules: ``cc_transforms.{i}`` (3 stride-1 convs at indices
+    0/2/4), ``context_prediction.{i}`` (masked conv),
+    ``ParamAggregation.{i}`` (3 1x1 convs at 0/2/4) — note the reference's
+    capitalized module name (elic.py:108).
+    """
+    out: Tree = {
+        "g_a": _convert_sequential(_subtree(sd, "g_a"), _GA_LAYERS),
+        "g_s": _convert_sequential(_subtree(sd, "g_s"), _GS_LAYERS),
+        "h_a": _convert_sequential(_subtree(sd, "h_a"), _HA_LAYERS),
+        "h_s": _convert_sequential(_subtree(sd, "h_s"), _HS_LAYERS),
+        "entropy_bottleneck": _entropy_bottleneck_leaf(
+            _subtree(sd, "entropy_bottleneck")),
+    }
+    for i in range(num_slices - 1):
+        out[f"cc_transforms_{i}"] = _convert_sequential(
+            _subtree(sd, f"cc_transforms.{i}"), _CC_LAYERS)
+    for i in range(num_slices):
+        out[f"context_prediction_{i}"] = _deconv_like_masked(
+            _subtree(sd, f"context_prediction.{i}"))
+        out[f"param_aggregation_{i}"] = _convert_sequential(
+            _subtree(sd, f"ParamAggregation.{i}"), _PA_LAYERS)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # MultiScaleRefine (reference enhancement.py:55-113)
 # ---------------------------------------------------------------------------
 
