@@ -77,7 +77,7 @@ def process_image(codec, path: str, outdir: Path, save_components: bool):
     enc_time = time.time() - t0
     t0 = time.time()
     dec = (codec.decompress(comp) if "jpeg_buffers" in comp
-           else codec.decompress(comp["strings"], comp["shape"]))
+           else codec.decompress(comp["strings"], comp["shape"], comp.get("size")))
     dec_time = time.time() - t0
     x_hat = jnp.clip(dec["x_hat"], 0, 1)
 

@@ -64,6 +64,9 @@ def parse_args(argv=None):
                    help="epochs of noise quantization before STE switch")
     p.add_argument("--steps-per-epoch", type=int, default=None,
                    help="cap steps per epoch (useful for small runs)")
+    p.add_argument("--save-every", type=int, default=1,
+                   help="checkpoint every N epochs (device->host transfer "
+                        "of the full state is expensive over the TPU tunnel)")
     return p.parse_args(argv)
 
 
@@ -200,6 +203,11 @@ def main(argv=None):
                     plateau_bad = 0
                     print(f"plateau: lr -> {get_main_lr(state.main_state):.2e}")
 
+        is_best = loss < best_loss
+        best_loss = min(best_loss, loss)
+        do_save = (epoch % args.save_every == 0) or epoch == args.epochs - 1
+        if not do_save:
+            continue
         ckpt = {
             "epoch": epoch,
             "params": state.params,
@@ -207,12 +215,11 @@ def main(argv=None):
             "aux_state": state.aux_state,
             "step": state.step,
             "loss": loss,
-            "best_loss": min(best_loss, loss),
+            "best_loss": best_loss,
         }
         delete_by_prefix(save_dir, "checkpoint_last_")
         save_checkpoint(ckpt, save_dir / f"checkpoint_last_{epoch}.msgpack")
-        if loss < best_loss:
-            best_loss = loss
+        if is_best:
             delete_by_prefix(save_dir, "checkpoint_best_")
             save_checkpoint(ckpt, save_dir / f"checkpoint_best_{epoch}.msgpack")
             with open(save_dir / "best_metrics.csv", "w", newline="") as f:

@@ -26,7 +26,7 @@ from ..entropy import (
 )
 from ..nn import checkerboard
 from .cheng2020 import CHENG_ANCHOR, CHENG_NONANCHOR
-from .codec import _encode_planes, _lut_for
+from .codec import _encode_planes, _lut_for, pad_to_multiple
 
 
 class Cheng2020Codec:
@@ -129,6 +129,8 @@ class Cheng2020Codec:
         if self.gauss_tables is None:
             raise RuntimeError("call update() first")
         start = time.time()
+        size = (int(x.shape[1]), int(x.shape[2]))
+        x = pad_to_multiple(x, 64)
         y, z_sym = self._enc_analysis(x)
         hyper, a_idx, ma_p = self._dec_anchor(z_sym)
         a_sym = self._enc_symbols(y, ma_p, CHENG_ANCHOR)
@@ -150,10 +152,11 @@ class Cheng2020Codec:
         return {
             "strings": [y_strings, z_strings],
             "shape": (int(z_sym.shape[1]), int(z_sym.shape[2])),
+            "size": size,
             "time": time.time() - start,
         }
 
-    def decompress(self, strings, shape) -> Dict:
+    def decompress(self, strings, shape, size=None) -> Dict:
         if self.gauss_tables is None:
             raise RuntimeError("call update() first")
         start = time.time()
@@ -175,12 +178,14 @@ class Cheng2020Codec:
                             gt.offset, lut=_lut_for(gt))
             for i, d in enumerate(decoders)])
         x_hat = self._dec_synthesis(y_anchor_hat, jnp.asarray(n_sym), mn_p)
+        if size is not None:
+            x_hat = x_hat[:, : size[0], : size[1], :]
         x_hat.block_until_ready()
         return {"x_hat": x_hat, "time": time.time() - start}
 
     def inference(self, x: jax.Array) -> Dict:
         comp = self.compress(x)
-        dec = self.decompress(comp["strings"], comp["shape"])
+        dec = self.decompress(comp["strings"], comp["shape"], comp.get("size"))
         return {
             "x_hat": dec["x_hat"],
             "time": {"compression": comp["time"],

@@ -41,6 +41,17 @@ from ..nn import checkerboard
 from ..nn.checkerboard import ANCHOR, NON_ANCHOR
 
 
+def pad_to_multiple(x: jax.Array, mult: int) -> jax.Array:
+    """Edge-pad H, W up to multiples of ``mult`` (fully-convolutional
+    models need /64-divisible inputs; the reference only handles such
+    inputs, SURVEY §5.7a)."""
+    ph = (-x.shape[1]) % mult
+    pw = (-x.shape[2]) % mult
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    return x
+
+
 def _lut_for(t: CdfTables) -> RansLut:
     """O(1)-decode symbol LUT, built once per baked table set."""
     lut = getattr(t, "_lut", None)
@@ -207,6 +218,8 @@ class CheckerboardCodec:
     def compress(self, x: jax.Array) -> Dict:
         self._require_tables()
         start = time.time()
+        size = (int(x.shape[1]), int(x.shape[2]))
+        x = pad_to_multiple(x, 64)  # 3 stride-2 stages + hyper /4 => /64
         y, z_sym = self._enc_analysis(x)
         lp, a_idx, ma_p = self._dec_stage1(z_sym)
         a_sym = self._enc_symbols(y, ma_p, ANCHOR)
@@ -222,10 +235,12 @@ class CheckerboardCodec:
         return {
             "strings": [[anchor_strings, nonanchor_strings], z_strings],
             "shape": (int(z_sym.shape[1]), int(z_sym.shape[2])),
+            "size": size,
             "time": time.time() - start,
         }
 
-    def decompress(self, strings, shape: Tuple[int, int]) -> Dict:
+    def decompress(self, strings, shape: Tuple[int, int],
+                   size: Tuple[int, int] | None = None) -> Dict:
         self._require_tables()
         start = time.time()
         z_sym = self._eb_decode(strings[1], shape)
@@ -234,6 +249,8 @@ class CheckerboardCodec:
         y_anchor_hat, n_idx, mn_p = self._dec_stage2(lp, jnp.asarray(a_sym), ma_p)
         n_sym = _decode_planes(strings[0][1], np.asarray(n_idx), self.gauss_tables)
         x_hat = self._dec_stage3(y_anchor_hat, jnp.asarray(n_sym), mn_p)
+        if size is not None:
+            x_hat = x_hat[:, : size[0], : size[1], :]
         x_hat.block_until_ready()
         return {"x_hat": x_hat, "time": time.time() - start}
 
@@ -241,7 +258,7 @@ class CheckerboardCodec:
         """Timed compress+decompress roundtrip (reference
         checkerboard.py:242-259)."""
         comp = self.compress(x)
-        dec = self.decompress(comp["strings"], comp["shape"])
+        dec = self.decompress(comp["strings"], comp["shape"], comp.get("size"))
         return {
             "x_hat": dec["x_hat"],
             "strings": comp["strings"],

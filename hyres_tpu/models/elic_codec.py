@@ -32,7 +32,7 @@ from ..entropy import (
 )
 from ..nn import checkerboard
 from ..nn.checkerboard import ANCHOR, NON_ANCHOR
-from .codec import _decode_planes, _encode_planes, _lut_for
+from .codec import _decode_planes, _encode_planes, _lut_for, pad_to_multiple
 
 
 class ElicCodec:
@@ -159,6 +159,8 @@ class ElicCodec:
         # per-stage timers are part of the reference's return contract
         # (elic.py:414-431: y_enc / z_enc / z_dec / params)
         t_start = time.time()
+        size = (int(x.shape[1]), int(x.shape[2]))
+        x = pad_to_multiple(x, 64)
         y, z_sym = self._enc_analysis(x)
         jax.block_until_ready(z_sym)
         t_y_enc = time.time() - t_start
@@ -193,12 +195,13 @@ class ElicCodec:
         return {
             "strings": [y_strings, z_strings],
             "shape": (int(z_sym.shape[1]), int(z_sym.shape[2])),
+            "size": size,
             "time": time.time() - t_start,
             "stage_times": {"y_enc": t_y_enc, "z_enc": t_z_enc,
                             "z_dec": t_z_dec, "params": t_params},
         }
 
-    def decompress(self, strings, shape) -> Dict:
+    def decompress(self, strings, shape, size=None) -> Dict:
         if self.gauss_tables is None:
             raise RuntimeError("call update() first")
         t_start = time.time()
@@ -220,12 +223,14 @@ class ElicCodec:
             y_hat_slices.append(self._dec_combine(y_anchor_hat, n_sym, mn_p))
 
         x_hat = self._dec_synthesis(y_hat_slices)
+        if size is not None:
+            x_hat = x_hat[:, : size[0], : size[1], :]
         x_hat.block_until_ready()
         return {"x_hat": x_hat, "time": time.time() - t_start}
 
     def inference(self, x: jax.Array) -> Dict:
         comp = self.compress(x)
-        dec = self.decompress(comp["strings"], comp["shape"])
+        dec = self.decompress(comp["strings"], comp["shape"], comp.get("size"))
         return {
             "x_hat": dec["x_hat"],
             "time": {"compression": comp["time"],

@@ -149,7 +149,8 @@ class HyresCodec:
         jpeg_decoded = decode_with_qtables(
             cy, ccb, ccr, p0.qtables[0], p0.qtables[1], p0.height, p0.width)
 
-        res = self._residual.decompress(compressed["strings"], compressed["shape"])
+        res = self._residual.decompress(compressed["strings"], compressed["shape"],
+                                        compressed.get("size"))
         x_hat = self._refine_stage(jpeg_decoded, res["x_hat"])
         x_hat.block_until_ready()
         res["x_hat"] = x_hat
