@@ -100,3 +100,15 @@ def test_hyres_compress_decompress(hyres_small):
     # deterministic decode
     dec2 = codec.decompress(comp)
     assert np.array_equal(np.asarray(dec["x_hat"]), np.asarray(dec2["x_hat"]))
+
+
+def test_odd_size_roundtrip(small_model):
+    """Non-/64 inputs: codec pads to /64 and crops the reconstruction."""
+    model, params = small_model
+    x = jax.random.uniform(jax.random.key(7), (1, 70, 90, 3))
+    codec = CheckerboardCodec(model, params)
+    codec.update(force=True)
+    comp = codec.compress(x)
+    assert comp["size"] == (70, 90)
+    dec = codec.decompress(comp["strings"], comp["shape"], comp["size"])
+    assert dec["x_hat"].shape == x.shape
