@@ -8,7 +8,6 @@ load codec checkpoint, optionally overlay a refine-only checkpoint,
 from __future__ import annotations
 
 import argparse
-from pathlib import Path
 
 import jax
 import jax.numpy as jnp

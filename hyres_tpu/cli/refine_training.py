@@ -15,7 +15,6 @@ compiled program.
 from __future__ import annotations
 
 import argparse
-import functools
 import time
 from pathlib import Path
 

@@ -17,7 +17,6 @@ reference's ``updata`` step, /root/reference/src/updata.py:36-78).
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ dependency (/root/reference/models/utils/turbo_jpeg_compression.py).
 from __future__ import annotations
 
 import ctypes
-from typing import Tuple
 
 import numpy as np
 

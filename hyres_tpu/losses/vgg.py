@@ -19,7 +19,7 @@ VGG term is off by default in the headline configs.
 from __future__ import annotations
 
 import os
-from typing import List, Sequence
+from typing import List
 
 import flax.linen as nn
 import jax

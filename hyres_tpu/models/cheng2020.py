@@ -21,13 +21,11 @@ cudnn flags (cheng2020.py:108,148).
 
 from __future__ import annotations
 
-import time
-from typing import Dict, List, Tuple
+from typing import Dict
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..entropy import EntropyBottleneck, gaussian_likelihood, quantize_ste
 from ..nn import (

@@ -24,7 +24,6 @@ via explicit casts at the callsite.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
 
 import flax.linen as nn
 import jax

@@ -15,7 +15,6 @@ host only decodes PNGs and crops.
 from __future__ import annotations
 
 import concurrent.futures
-import os
 from pathlib import Path
 from typing import Iterator, List, Optional, Tuple
 

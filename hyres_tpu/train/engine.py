@@ -21,7 +21,7 @@ Capability-parity with the reference's engine
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict
 
 import flax.struct
 import jax
