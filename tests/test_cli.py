@@ -1,0 +1,80 @@
+"""CLI surfaces: arg parsing, data prep, PIL adapter, end-to-end updata."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_training_args_match_reference_surface():
+    from hyres_tpu.cli.training import parse_args
+
+    a = parse_args([
+        "-d", "/tmp/x", "--N", "128", "--M", "192", "--jpeg-quality", "1",
+        "-e", "4000", "-lr", "1e-4", "--aux-learning-rate", "1e-3",
+        "--lambda", "0.032", "--alpha", "0", "--batch-size", "16",
+        "--test-batch-size", "32", "--patch-size", "256", "256",
+        "--seed", "1926", "--clip_max_norm", "1.0", "--pretrained",
+        "--gradient-accumulation-steps", "2", "--mixed-precision",
+        "--cuda", "--gpu-id", "0", "--savepath", "/tmp/save",
+    ])
+    assert a.lmbda == 0.032 and a.pretrained and a.gradient_accumulation_steps == 2
+
+
+def test_inference_args():
+    from hyres_tpu.cli.inference import parse_args
+
+    a = parse_args(["--checkpoint", "c.msgpack", "--input", "i.png",
+                    "--save-components", "--model", "checkerboard"])
+    assert a.model == "checkerboard" and a.save_components
+
+
+def test_prepare_data(tmp_path):
+    from hyres_tpu.cli.prepare_data import main
+
+    src = tmp_path / "classes"
+    for cls in ("a", "b"):
+        d = src / cls
+        d.mkdir(parents=True)
+        from PIL import Image
+
+        Image.new("RGB", (8, 8)).save(d / "img.png")  # same name: collision
+    dst = tmp_path / "flat"
+    main(["--source", str(src), "--dest", str(dst)])
+    files = list(dst.iterdir())
+    assert len(files) == 2  # collision-renamed, both kept
+
+
+def test_pil_jpeg_adapter(kodim01):
+    from hyres_tpu.jpeg.pil import PilJpegCodec
+
+    x = jnp.asarray(kodim01[None])
+    codec = PilJpegCodec(quality=30)
+    dec, bpp = codec(x)
+    assert dec.shape == x.shape
+    psnr = -10 * np.log10(float(jnp.mean((dec - x) ** 2)))
+    assert psnr > 25 and 0.1 < float(bpp) < 2.0
+
+
+def test_updata_cli_roundtrip(tmp_path):
+    """train-style checkpoint -> updata artifact -> loadable tables."""
+    from hyres_tpu.cli.updata import main
+    from hyres_tpu.models.hyres import ResidualJPEGCompression
+    from hyres_tpu.train import load_checkpoint, save_checkpoint
+
+    model = ResidualJPEGCompression(N=16, M=24, jpeg_quality=10)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                        noisequant=True, rng=jax.random.key(1))
+    ckpt = tmp_path / "train.msgpack"
+    save_checkpoint({"epoch": 0, "params": params, "loss": 1.0}, ckpt)
+    main(["--filepath", str(ckpt), "--name", "dep", "--dir", str(tmp_path),
+          "--N", "16", "--M", "24", "--jpeg-quality", "10"])
+    art = load_checkpoint(tmp_path / "dep.msgpack")
+    assert "tables" in art and "params" in art
+    g = art["tables"]["gaussian"]
+    assert g["quantized_cdf"].shape[0] == 64  # one row per scale
+    assert art["config"]["N"] == 16
