@@ -117,8 +117,27 @@ class HyresCodec:
             x_init = jpeg_decoded + residual_hat
             return model.apply(self.params, x_init, method=model.refine_stage)
 
+        residual = self._residual
+
+        from ..nn import checkerboard
+        from ..nn.checkerboard import NON_ANCHOR
+
+        @jax.jit
+        def dec_final(y_anchor_hat, n_sym, mn_p, jpeg_decoded):
+            # fused residual synthesis + refinement: one device roundtrip
+            # instead of two (residual g_s, then refine)
+            y_nonanchor_hat = checkerboard.unpack(
+                n_sym.astype(mn_p.dtype) + mn_p, NON_ANCHOR)
+            res_hat = residual.model.apply(
+                residual.params, y_anchor_hat + y_nonanchor_hat,
+                method=residual.model.synthesis)
+            H, W = jpeg_decoded.shape[1], jpeg_decoded.shape[2]
+            x_init = jpeg_decoded + res_hat[:, :H, :W, :]
+            return model.apply(self.params, x_init, method=model.refine_stage)
+
         self._jpeg_decode_and_residual = jpeg_decode_and_residual
         self._refine_stage = refine_stage
+        self._dec_final = dec_final
 
     def update(self, scale_table=None, force: bool = False) -> bool:
         return self._residual.update(scale_table=scale_table, force=force)
@@ -149,13 +168,22 @@ class HyresCodec:
         jpeg_decoded = decode_with_qtables(
             cy, ccb, ccr, p0.qtables[0], p0.qtables[1], p0.height, p0.width)
 
-        res = self._residual.decompress(compressed["strings"], compressed["shape"],
-                                        compressed.get("size"))
-        x_hat = self._refine_stage(jpeg_decoded, res["x_hat"])
+        # inline the residual codec's decode stages so the final program
+        # fuses residual synthesis + refinement
+        r = self._residual
+        r._require_tables()
+        strings = compressed["strings"]
+        z_sym = r._eb_decode(strings[1], compressed["shape"])
+        lp, a_idx, ma_p = r._dec_stage1(jnp.asarray(z_sym))
+        from .codec import _decode_planes
+
+        a_sym = _decode_planes(strings[0][0], np.asarray(a_idx), r.gauss_tables)
+        y_anchor_hat, n_idx, mn_p = r._dec_stage2(lp, jnp.asarray(a_sym), ma_p)
+        n_sym = _decode_planes(strings[0][1], np.asarray(n_idx), r.gauss_tables)
+        x_hat = self._dec_final(y_anchor_hat, jnp.asarray(n_sym), mn_p,
+                                jpeg_decoded)
         x_hat.block_until_ready()
-        res["x_hat"] = x_hat
-        res["time"] = time.time() - start
-        return res
+        return {"x_hat": x_hat, "time": time.time() - start}
 
     def inference(self, x: jax.Array) -> Dict:
         comp = self.compress(x)
