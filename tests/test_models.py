@@ -112,3 +112,22 @@ def test_odd_size_roundtrip(small_model):
     assert comp["size"] == (70, 90)
     dec = codec.decompress(comp["strings"], comp["shape"], comp["size"])
     assert dec["x_hat"].shape == x.shape
+
+
+def test_tiled_inference(small_model):
+    """Large image split into a tile batch, coded, reassembled."""
+    from hyres_tpu.models.tiled import tiled_compress, tiled_decompress
+
+    model, params = small_model
+    codec = CheckerboardCodec(model, params)
+    codec.update(force=True)
+    x = jax.random.uniform(jax.random.key(8), (1, 150, 200, 3))
+    comp = tiled_compress(codec, x, tile=128)
+    assert comp["tile_grid"] == (2, 2, 128)
+    dec = tiled_decompress(codec, comp)
+    assert dec["x_hat"].shape == x.shape
+    # interior of each tile matches the untiled decode of that tile
+    t = codec.compress(x[:, :128, :128, :])
+    d = codec.decompress(t["strings"], t["shape"], t["size"])
+    np.testing.assert_allclose(np.asarray(dec["x_hat"][0, :128, :128]),
+                               np.asarray(d["x_hat"][0]), atol=1e-6)
