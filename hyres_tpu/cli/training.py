@@ -160,7 +160,9 @@ def main(argv=None):
 
         t0 = time.time()
         n_steps = 0
-        run_loss = run_bpp = run_mse = 0.0
+        # accumulate metrics ON DEVICE; a float() every step would force a
+        # host sync per step (expensive over the TPU tunnel)
+        run_loss = run_bpp = run_mse = jnp.float32(0.0)
         for bi, batch in enumerate(train_loader):
             if args.steps_per_epoch and bi >= args.steps_per_epoch:
                 break
@@ -170,8 +172,9 @@ def main(argv=None):
             state, m = step_fn(state, shard_batch(mesh, jnp.asarray(batch)),
                                sub, noisequant)
             n_steps += 1
-            run_loss += float(m["loss"]); run_bpp += float(m["bpp_loss"])
-            run_mse += float(m["mse_loss"])
+            run_loss = run_loss + m["loss"]
+            run_bpp = run_bpp + m["bpp_loss"]
+            run_mse = run_mse + m["mse_loss"]
             if bi % 100 == 0:
                 print(f"epoch {epoch} [{bi}/{len(train_loader)}] "
                       f"loss={float(m['loss']):.4f} mse={float(m['mse_loss']):.4f} "
@@ -181,6 +184,7 @@ def main(argv=None):
 
         eval_metrics = run_eval(eval_fn, state.params, test_batches)
         loss = eval_metrics["loss"]
+        run_loss = float(run_loss); run_mse = float(run_mse); run_bpp = float(run_bpp)
         logger.log("Train", {"loss": run_loss / max(n_steps, 1),
                              "mse": run_mse / max(n_steps, 1),
                              "bpp": run_bpp / max(n_steps, 1)}, epoch)

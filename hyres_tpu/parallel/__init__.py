@@ -1,3 +1,10 @@
 from .mesh import data_parallel_mesh, replicate, shard_batch
+from .multihost import local_batch_slice, maybe_initialize_distributed
 
-__all__ = ["data_parallel_mesh", "replicate", "shard_batch"]
+__all__ = [
+    "data_parallel_mesh",
+    "local_batch_slice",
+    "maybe_initialize_distributed",
+    "replicate",
+    "shard_batch",
+]
