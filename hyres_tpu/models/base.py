@@ -1,0 +1,97 @@
+"""Shared machinery for the entropy-coded codec wrappers.
+
+Every codec family (checkerboard / ELIC / Cheng2020) shares: baked CDF
+table state + ``update()`` (the reference's CompressionModel.update
+convention, /root/reference/models/checkerboard.py:261-267), the
+factorized-prior z-plane coding, and the timed ``inference()`` roundtrip
+contract (checkerboard.py:242-259).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from ..coding import RansDecoder
+from ..entropy import (
+    CdfTables,
+    build_bottleneck_tables,
+    build_gaussian_tables,
+    get_scale_table,
+)
+
+
+class CodecBase:
+    """Holds model + params + baked tables; subclasses add the jit stages."""
+
+    def __init__(self, model, params, clamp: Tuple[float, float] | None = (0.0, 1.0)):
+        self.model = model
+        self.params = params
+        self.clamp = clamp
+        self.scale_table = get_scale_table()
+        self.gauss_tables: CdfTables | None = None
+        self.eb_tables: CdfTables | None = None
+        self._build_jits()
+
+    # subclasses define their compiled stages here
+    def _build_jits(self):
+        raise NotImplementedError
+
+    def _eb_param_dict(self) -> dict:
+        return self.params["params"]["entropy_bottleneck"]
+
+    def update(self, scale_table=None, force: bool = False) -> bool:
+        """Bake the Gaussian scale-table CDFs and the factorized-prior CDFs."""
+        if self.gauss_tables is not None and not force:
+            return False
+        if scale_table is not None:
+            self.scale_table = np.asarray(scale_table, np.float32)
+        self.gauss_tables = build_gaussian_tables(self.scale_table)
+        self.eb_tables = build_bottleneck_tables(self._eb_param_dict())
+        return True
+
+    def _require_tables(self):
+        if self.gauss_tables is None or self.eb_tables is None:
+            raise RuntimeError("call update() before compress/decompress")
+
+    # -- factorized-prior (z) coding ---------------------------------------
+
+    def _eb_encode(self, z_sym: np.ndarray) -> List[bytes]:
+        from .codec import _encode_planes
+
+        C = z_sym.shape[-1]
+        idx = np.ascontiguousarray(
+            np.broadcast_to(np.arange(C, dtype=np.int32), z_sym.shape))
+        return _encode_planes(z_sym, idx, self.eb_tables)
+
+    def _eb_decode(self, strings: Sequence[bytes],
+                   shape: Tuple[int, int]) -> np.ndarray:
+        from .codec import _lut_for
+
+        t = self.eb_tables
+        C = t.cdf_length.shape[0]
+        idx = np.ascontiguousarray(
+            np.broadcast_to(np.arange(C, dtype=np.int32), (*shape, C)))
+        lut = _lut_for(t)
+        return np.stack([
+            RansDecoder(s).decode_stream(idx, t.quantized_cdf, t.cdf_length,
+                                         t.offset, lut=lut)
+            for s in strings])
+
+    # -- timed roundtrip (reference checkerboard.py:242-259) ----------------
+
+    def inference(self, x) -> Dict:
+        comp = self.compress(x)
+        dec = self.decompress(comp["strings"], comp["shape"], comp.get("size"))
+        return {
+            "x_hat": dec["x_hat"],
+            "strings": comp["strings"],
+            "shape": comp["shape"],
+            "time": {
+                "compression": comp["time"],
+                "decompression": dec["time"],
+                "total": comp["time"] + dec["time"],
+            },
+        }

@@ -25,30 +25,12 @@ from ..entropy import (
     get_scale_table,
 )
 from ..nn import checkerboard
+from .base import CodecBase
 from .cheng2020 import CHENG_ANCHOR, CHENG_NONANCHOR
 from .codec import _encode_planes, _lut_for, pad_to_multiple
 
 
-class Cheng2020Codec:
-    def __init__(self, model, params, clamp: Tuple[float, float] | None = (0.0, 1.0)):
-        self.model = model
-        self.params = params
-        self.clamp = clamp
-        self.scale_table = get_scale_table()
-        self.gauss_tables: CdfTables | None = None
-        self.eb_tables: CdfTables | None = None
-        self._build_jits()
-
-    def update(self, scale_table=None, force: bool = False) -> bool:
-        if self.gauss_tables is not None and not force:
-            return False
-        if scale_table is not None:
-            self.scale_table = np.asarray(scale_table, np.float32)
-        self.gauss_tables = build_gaussian_tables(self.scale_table)
-        self.eb_tables = build_bottleneck_tables(
-            self.params["params"]["entropy_bottleneck"])
-        return True
-
+class Cheng2020Codec(CodecBase):
     def _build_jits(self):
         model, params = self.model, self.params
         table = jnp.asarray(get_scale_table())
@@ -108,26 +90,8 @@ class Cheng2020Codec:
         self._dec_nonanchor = dec_nonanchor
         self._dec_synthesis = dec_synthesis
 
-    def _eb_encode(self, z_sym: np.ndarray) -> List[bytes]:
-        C = z_sym.shape[-1]
-        idx = np.ascontiguousarray(
-            np.broadcast_to(np.arange(C, dtype=np.int32), z_sym.shape))
-        return _encode_planes(z_sym, idx, self.eb_tables)
-
-    def _eb_decode(self, strings, shape) -> np.ndarray:
-        C = self.eb_tables.cdf_length.shape[0]
-        idx = np.ascontiguousarray(
-            np.broadcast_to(np.arange(C, dtype=np.int32), (*shape, C)))
-        return np.stack([
-            RansDecoder(s).decode_stream(idx, self.eb_tables.quantized_cdf,
-                                         self.eb_tables.cdf_length,
-                                         self.eb_tables.offset,
-                                         lut=_lut_for(self.eb_tables))
-            for s in strings])
-
     def compress(self, x: jax.Array) -> Dict:
-        if self.gauss_tables is None:
-            raise RuntimeError("call update() first")
+        self._require_tables()
         start = time.time()
         size = (int(x.shape[1]), int(x.shape[2]))
         x = pad_to_multiple(x, 64)
@@ -157,8 +121,7 @@ class Cheng2020Codec:
         }
 
     def decompress(self, strings, shape, size=None) -> Dict:
-        if self.gauss_tables is None:
-            raise RuntimeError("call update() first")
+        self._require_tables()
         start = time.time()
         z_sym = self._eb_decode(strings[1], shape)
         hyper, a_idx, ma_p = self._dec_anchor(jnp.asarray(z_sym))
@@ -182,13 +145,3 @@ class Cheng2020Codec:
             x_hat = x_hat[:, : size[0], : size[1], :]
         x_hat.block_until_ready()
         return {"x_hat": x_hat, "time": time.time() - start}
-
-    def inference(self, x: jax.Array) -> Dict:
-        comp = self.compress(x)
-        dec = self.decompress(comp["strings"], comp["shape"], comp.get("size"))
-        return {
-            "x_hat": dec["x_hat"],
-            "time": {"compression": comp["time"],
-                     "decompression": dec["time"],
-                     "total": comp["time"] + dec["time"]},
-        }

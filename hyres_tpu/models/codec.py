@@ -39,6 +39,7 @@ from ..entropy import (
 )
 from ..nn import checkerboard
 from ..nn.checkerboard import ANCHOR, NON_ANCHOR
+from .base import CodecBase
 
 
 def pad_to_multiple(x: jax.Array, mult: int) -> jax.Array:
@@ -95,40 +96,14 @@ def _decode_planes(strings: Sequence[bytes], indexes: np.ndarray, t: CdfTables) 
     return np.stack(list(_CODER_POOL.map(one, enumerate(strings))))
 
 
-class CheckerboardCodec:
-    """Stateful wrapper: model def + params + baked CDF tables."""
+class CheckerboardCodec(CodecBase):
+    """Stateful wrapper: model def + params + baked CDF tables.
 
-    def __init__(self, model, params, clamp: Tuple[float, float] | None = (0.0, 1.0)):
-        # clamp: output range of decompress. The reference clamps every
-        # decode to (0,1) (checkerboard.py:235) — wrong for the residual
-        # signal inside HyRES, whose range is [-1,1]; HyresCodec passes
-        # clamp=None (deliberate fix, see models/hyres.py).
-        self.model = model
-        self.params = params
-        self.clamp = clamp
-        self.scale_table = get_scale_table()
-        self.gauss_tables: CdfTables | None = None
-        self.eb_tables: CdfTables | None = None
-        self._build_jits()
-
-    # -- table baking (reference `update`) --------------------------------
-
-    def update(self, scale_table=None, force: bool = False) -> bool:
-        if self.gauss_tables is not None and not force:
-            return False
-        if scale_table is not None:
-            self.scale_table = np.asarray(scale_table, np.float32)
-        self.gauss_tables = build_gaussian_tables(self.scale_table)
-        eb_params = self._eb_param_dict()
-        self.eb_tables = build_bottleneck_tables(eb_params)
-        return True
-
-    def _eb_param_dict(self) -> dict:
-        return self.params["params"]["entropy_bottleneck"]
-
-    def _require_tables(self):
-        if self.gauss_tables is None or self.eb_tables is None:
-            raise RuntimeError("call update() before compress/decompress")
+    clamp: output range of decompress. The reference clamps every decode
+    to (0,1) (checkerboard.py:235) — wrong for the residual signal inside
+    HyRES, whose range is [-1,1]; HyresCodec passes clamp=None
+    (deliberate fix, see models/hyres.py).
+    """
 
     # -- jit graph pieces ---------------------------------------------------
 
@@ -193,26 +168,6 @@ class CheckerboardCodec:
         self._dec_stage1, self._dec_stage2, self._dec_stage3 = (
             dec_stage1, dec_stage2, dec_stage3)
 
-    # -- EB (z) coding -----------------------------------------------------
-
-    def _eb_encode(self, z_sym: np.ndarray) -> List[bytes]:
-        B, H, W, C = z_sym.shape
-        idx = np.broadcast_to(np.arange(C, dtype=np.int32), z_sym.shape)
-        return _encode_planes(z_sym, np.ascontiguousarray(idx), self.eb_tables)
-
-    def _eb_decode(self, strings: Sequence[bytes], shape: Tuple[int, int]) -> np.ndarray:
-        C = self.eb_tables.cdf_length.shape[0]
-        H, W = shape
-        idx = np.broadcast_to(np.arange(C, dtype=np.int32), (H, W, C))
-        idx = np.ascontiguousarray(idx)
-        return np.stack([
-            RansDecoder(s).decode_stream(idx, self.eb_tables.quantized_cdf,
-                                         self.eb_tables.cdf_length,
-                                         self.eb_tables.offset,
-                                         lut=_lut_for(self.eb_tables))
-            for s in strings
-        ])
-
     # -- public API ----------------------------------------------------------
 
     def compress(self, x: jax.Array) -> Dict:
@@ -253,19 +208,3 @@ class CheckerboardCodec:
             x_hat = x_hat[:, : size[0], : size[1], :]
         x_hat.block_until_ready()
         return {"x_hat": x_hat, "time": time.time() - start}
-
-    def inference(self, x: jax.Array) -> Dict:
-        """Timed compress+decompress roundtrip (reference
-        checkerboard.py:242-259)."""
-        comp = self.compress(x)
-        dec = self.decompress(comp["strings"], comp["shape"], comp.get("size"))
-        return {
-            "x_hat": dec["x_hat"],
-            "strings": comp["strings"],
-            "shape": comp["shape"],
-            "time": {
-                "compression": comp["time"],
-                "decompression": dec["time"],
-                "total": comp["time"] + dec["time"],
-            },
-        }

@@ -32,29 +32,11 @@ from ..entropy import (
 )
 from ..nn import checkerboard
 from ..nn.checkerboard import ANCHOR, NON_ANCHOR
-from .codec import _decode_planes, _encode_planes, _lut_for, pad_to_multiple
+from .base import CodecBase
+from .codec import _decode_planes, _encode_planes, pad_to_multiple
 
 
-class ElicCodec:
-    def __init__(self, model, params, clamp: Tuple[float, float] | None = (0.0, 1.0)):
-        self.model = model
-        self.params = params
-        self.clamp = clamp
-        self.scale_table = get_scale_table()
-        self.gauss_tables: CdfTables | None = None
-        self.eb_tables: CdfTables | None = None
-        self._build_jits()
-
-    def update(self, scale_table=None, force: bool = False) -> bool:
-        if self.gauss_tables is not None and not force:
-            return False
-        if scale_table is not None:
-            self.scale_table = np.asarray(scale_table, np.float32)
-        self.gauss_tables = build_gaussian_tables(self.scale_table)
-        self.eb_tables = build_bottleneck_tables(
-            self.params["params"]["entropy_bottleneck"])
-        return True
-
+class ElicCodec(CodecBase):
     def _build_jits(self):
         model, params = self.model, self.params
         table = jnp.asarray(get_scale_table())
@@ -124,26 +106,6 @@ class ElicCodec:
         self._dec_combine = dec_combine
         self._dec_synthesis = dec_synthesis
 
-    # -- z plane --------------------------------------------------------------
-
-    def _eb_encode(self, z_sym: np.ndarray) -> List[bytes]:
-        C = z_sym.shape[-1]
-        idx = np.ascontiguousarray(
-            np.broadcast_to(np.arange(C, dtype=np.int32), z_sym.shape))
-        return _encode_planes(z_sym, idx, self.eb_tables)
-
-    def _eb_decode(self, strings, shape) -> np.ndarray:
-        C = self.eb_tables.cdf_length.shape[0]
-        idx = np.ascontiguousarray(
-            np.broadcast_to(np.arange(C, dtype=np.int32), (*shape, C)))
-        from ..coding import RansDecoder
-        return np.stack([
-            RansDecoder(s).decode_stream(idx, self.eb_tables.quantized_cdf,
-                                         self.eb_tables.cdf_length,
-                                         self.eb_tables.offset,
-                                         lut=_lut_for(self.eb_tables))
-            for s in strings])
-
     def _slice_bounds(self):
         bounds, acc = [], 0
         for g in self.model.groups[:-1]:
@@ -154,8 +116,7 @@ class ElicCodec:
     # -- public API -------------------------------------------------------------
 
     def compress(self, x: jax.Array) -> Dict:
-        if self.gauss_tables is None:
-            raise RuntimeError("call update() first")
+        self._require_tables()
         # per-stage timers are part of the reference's return contract
         # (elic.py:414-431: y_enc / z_enc / z_dec / params)
         t_start = time.time()
@@ -202,8 +163,7 @@ class ElicCodec:
         }
 
     def decompress(self, strings, shape, size=None) -> Dict:
-        if self.gauss_tables is None:
-            raise RuntimeError("call update() first")
+        self._require_tables()
         t_start = time.time()
         z_sym = self._eb_decode(strings[1], shape)
         means, scales = self._dec_hyper(jnp.asarray(z_sym))
@@ -227,13 +187,3 @@ class ElicCodec:
             x_hat = x_hat[:, : size[0], : size[1], :]
         x_hat.block_until_ready()
         return {"x_hat": x_hat, "time": time.time() - t_start}
-
-    def inference(self, x: jax.Array) -> Dict:
-        comp = self.compress(x)
-        dec = self.decompress(comp["strings"], comp["shape"], comp.get("size"))
-        return {
-            "x_hat": dec["x_hat"],
-            "time": {"compression": comp["time"],
-                     "decompression": dec["time"],
-                     "total": comp["time"] + dec["time"]},
-        }
