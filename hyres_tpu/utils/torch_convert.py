@@ -243,6 +243,100 @@ def convert_elic(sd: TorchSD, num_slices: int = 5) -> Tree:
 
 
 # ---------------------------------------------------------------------------
+# Cheng2020withCheckerboard (reference cheng2020.py:21-32; topology from
+# CompressAI's Cheng2020Anchor: residual blocks + subpel upsampling)
+# ---------------------------------------------------------------------------
+
+
+def _rbs_leaf(sub: TorchSD) -> Tree:
+    """ResidualBlockWithStride: conv1, conv2, gdn, skip."""
+    out: Tree = {}
+    out["Conv_0"] = {"Conv_0": {"kernel": _t2j_conv(sub["conv1.weight"]),
+                                "bias": np.asarray(sub["conv1.bias"])}}
+    out["Conv_1"] = {"Conv_0": {"kernel": _t2j_conv(sub["conv2.weight"]),
+                                "bias": np.asarray(sub["conv2.bias"])}}
+    out["GDN_0"] = _gdn_leaf(_subtree(sub, "gdn"))
+    if "skip.weight" in sub:
+        out["Conv_2"] = {"Conv_0": {"kernel": _t2j_conv(sub["skip.weight"]),
+                                    "bias": np.asarray(sub["skip.bias"])}}
+    return out
+
+
+def _rb_leaf(sub: TorchSD) -> Tree:
+    out: Tree = {}
+    out["Conv_0"] = {"Conv_0": {"kernel": _t2j_conv(sub["conv1.weight"]),
+                                "bias": np.asarray(sub["conv1.bias"])}}
+    out["Conv_1"] = {"Conv_0": {"kernel": _t2j_conv(sub["conv2.weight"]),
+                                "bias": np.asarray(sub["conv2.bias"])}}
+    if "skip.weight" in sub:
+        out["Conv_2"] = {"Conv_0": {"kernel": _t2j_conv(sub["skip.weight"]),
+                                    "bias": np.asarray(sub["skip.bias"])}}
+    return out
+
+
+def _subpel_leaf(sub: TorchSD) -> Tree:
+    """subpel_conv3x3 = Sequential(conv3x3, PixelShuffle): key '0.weight'."""
+    return {"Conv_0": {"Conv_0": {"kernel": _t2j_conv(sub["0.weight"]),
+                                  "bias": np.asarray(sub["0.bias"])}}}
+
+
+def _rbu_leaf(sub: TorchSD) -> Tree:
+    out: Tree = {}
+    out["SubpelConv3x3_0"] = _subpel_leaf(_subtree(sub, "subpel_conv"))
+    out["Conv_0"] = {"Conv_0": {"kernel": _t2j_conv(sub["conv.weight"]),
+                                "bias": np.asarray(sub["conv.bias"])}}
+    out["GDN_0"] = _gdn_leaf(_subtree(sub, "igdn"))
+    out["SubpelConv3x3_1"] = _subpel_leaf(_subtree(sub, "upsample"))
+    return out
+
+
+_CHENG_GA = [("0", "ResidualBlockWithStride_0", _rbs_leaf),
+             ("1", "ResidualBlock_0", _rb_leaf),
+             ("2", "ResidualBlockWithStride_1", _rbs_leaf),
+             ("3", "ResidualBlock_1", _rb_leaf),
+             ("4", "ResidualBlockWithStride_2", _rbs_leaf),
+             ("5", "ResidualBlock_2", _rb_leaf),
+             ("6", "Conv_0", _conv_leaf)]
+
+_CHENG_GS = [("0", "ResidualBlock_0", _rb_leaf),
+             ("1", "ResidualBlockUpsample_0", _rbu_leaf),
+             ("2", "ResidualBlock_1", _rb_leaf),
+             ("3", "ResidualBlockUpsample_1", _rbu_leaf),
+             ("4", "ResidualBlock_2", _rb_leaf),
+             ("5", "ResidualBlockUpsample_2", _rbu_leaf),
+             ("6", "ResidualBlock_3", _rb_leaf),
+             ("7", "SubpelConv3x3_0", _subpel_leaf)]
+
+_CHENG_HA = [(str(i), f"Conv_{k}", _conv_leaf) for k, i in enumerate((0, 2, 4, 6, 8))]
+
+_CHENG_HS = [("0", "Conv_0", _conv_leaf), ("2", "SubpelConv3x3_0", _subpel_leaf),
+             ("4", "Conv_1", _conv_leaf), ("6", "SubpelConv3x3_1", _subpel_leaf),
+             ("8", "Conv_2", _conv_leaf)]
+
+_CHENG_EP = [("0", "Conv_0", _conv_leaf), ("2", "Conv_1", _conv_leaf),
+             ("4", "Conv_2", _conv_leaf)]
+
+
+def convert_cheng2020(sd: TorchSD) -> Tree:
+    """torch Cheng2020withCheckerboard state_dict -> flax params subtree."""
+
+    def seq(prefix, layers):
+        return {name: fn(_subtree(sd, f"{prefix}.{idx}"))
+                for idx, name, fn in layers}
+
+    return {
+        "g_a": seq("g_a", _CHENG_GA),
+        "g_s": seq("g_s", _CHENG_GS),
+        "h_a": seq("h_a", _CHENG_HA),
+        "h_s": seq("h_s", _CHENG_HS),
+        "entropy_parameters": seq("entropy_parameters", _CHENG_EP),
+        "context_prediction": _deconv_like_masked(_subtree(sd, "context_prediction")),
+        "entropy_bottleneck": _entropy_bottleneck_leaf(
+            _subtree(sd, "entropy_bottleneck")),
+    }
+
+
+# ---------------------------------------------------------------------------
 # MultiScaleRefine (reference enhancement.py:55-113)
 # ---------------------------------------------------------------------------
 

@@ -308,3 +308,86 @@ def _flatten(tree, prefix=()):
         else:
             out.append(("/".join(prefix + (k,)), v))
     return out
+
+
+# ---- Cheng2020 block replicas (compressai naming) -------------------------
+
+
+class TRBS(tnn.Module):
+    def __init__(self, cin, cout, stride=2):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, cout, 3, stride=stride, padding=1)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, padding=1)
+        self.gdn = TGDN(cout)
+        if stride != 1 or cin != cout:
+            self.skip = tnn.Conv2d(cin, cout, 1, stride=stride)
+        else:
+            self.skip = None
+
+    def forward(self, x):
+        h = F.leaky_relu(self.conv1(x), 0.01)
+        h = self.gdn(self.conv2(h))
+        return h + (self.skip(x) if self.skip is not None else x)
+
+
+class TRB(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(c, c, 3, padding=1)
+        self.conv2 = tnn.Conv2d(c, c, 3, padding=1)
+
+    def forward(self, x):
+        h = F.leaky_relu(self.conv1(x), 0.01)
+        h = F.leaky_relu(self.conv2(h), 0.01)
+        return x + h
+
+
+def tsubpel(cin, cout, r=2):
+    return tnn.Sequential(tnn.Conv2d(cin, cout * r * r, 3, padding=1),
+                          tnn.PixelShuffle(r))
+
+
+class TRBU(tnn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.subpel_conv = tsubpel(cin, cout)
+        self.conv = tnn.Conv2d(cout, cout, 3, padding=1)
+        self.igdn = TGDN(cout, inverse=True)
+        self.upsample = tsubpel(cin, cout)
+
+    def forward(self, x):
+        h = F.leaky_relu(self.subpel_conv(x), 0.01)
+        h = self.igdn(self.conv(h))
+        return h + self.upsample(x)
+
+
+def test_cheng2020_converter_parity():
+    from hyres_tpu.models.cheng2020 import _GA, _GS
+
+    N = 8
+    tga = tnn.Sequential(TRBS(3, N), TRB(N), TRBS(N, N), TRB(N), TRBS(N, N),
+                         TRB(N), tnn.Conv2d(N, N, 3, stride=2, padding=1))
+    tgs = tnn.Sequential(TRB(N), TRBU(N, N), TRB(N), TRBU(N, N), TRB(N),
+                         TRBU(N, N), TRB(N), tsubpel(N, 3))
+    x = torch.rand(1, 3, 64, 64)
+    y = torch.rand(1, N, 4, 4)
+    want_ga = tga(x)
+    want_gs = tgs(y)
+
+    sd = {f"g_a.{k}": v.numpy() for k, v in tga.state_dict().items()}
+    sd.update({f"g_s.{k}": v.numpy() for k, v in tgs.state_dict().items()})
+    ga_tree = {name: fn(
+        {kk[len(f"g_a.{idx}.") :]: vv for kk, vv in sd.items()
+         if kk.startswith(f"g_a.{idx}.")})
+        for idx, name, fn in tc._CHENG_GA}
+    gs_tree = {name: fn(
+        {kk[len(f"g_s.{idx}.") :]: vv for kk, vv in sd.items()
+         if kk.startswith(f"g_s.{idx}.")})
+        for idx, name, fn in tc._CHENG_GS}
+
+    got_ga = _GA(N).apply({"params": ga_tree},
+                          jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    _cmp(want_ga, got_ga, atol=5e-4)
+    got_gs = _GS(N).apply({"params": gs_tree},
+                          jnp.asarray(y.numpy().transpose(0, 2, 3, 1)))
+    _cmp(want_gs, got_gs, atol=5e-4)
