@@ -101,3 +101,13 @@ def test_odd_sizes(rng_np):
     codec = JpegCodec(50)
     out = codec.decompress(codec.compress(x))
     assert out.shape == x.shape
+
+
+def test_golden_kodim01_q1_regression(kodim01):
+    """Regression pin: known-good values measured against libjpeg
+    (SURVEY §4e golden-file prescription)."""
+    x = jnp.asarray(kodim01[None])
+    dec, bpp = jpeg_roundtrip(x, 1)
+    psnr = -10 * np.log10(np.mean((np.asarray(dec)[0] - kodim01) ** 2))
+    assert abs(float(bpp[0]) - 0.1907) < 0.003
+    assert abs(psnr - 19.96) < 0.1
