@@ -68,17 +68,13 @@ class CodecBase:
 
     def _eb_decode(self, strings: Sequence[bytes],
                    shape: Tuple[int, int]) -> np.ndarray:
-        from .codec import _lut_for
+        from .codec import _decode_planes
 
         t = self.eb_tables
         C = t.cdf_length.shape[0]
-        idx = np.ascontiguousarray(
-            np.broadcast_to(np.arange(C, dtype=np.int32), (*shape, C)))
-        lut = _lut_for(t)
-        return np.stack([
-            RansDecoder(s).decode_stream(idx, t.quantized_cdf, t.cdf_length,
-                                         t.offset, lut=lut)
-            for s in strings])
+        idx = np.ascontiguousarray(np.broadcast_to(
+            np.arange(C, dtype=np.int32), (len(strings), *shape, C)))
+        return _decode_planes(strings, idx, t)
 
     # -- timed roundtrip (reference checkerboard.py:242-259) ----------------
 

@@ -64,36 +64,90 @@ def _lut_for(t: CdfTables) -> RansLut:
 
 _CODER_POOL = concurrent.futures.ThreadPoolExecutor(8)
 
+# symbols per sub-stream chunk; planes larger than this are split into
+# independently-coded chunks so a SINGLE image codes on multiple cores
+_CHUNK_SYMS = 131072
+_MAX_CHUNKS = 8
+
+
+def _n_chunks(n: int) -> int:
+    return max(1, min(_MAX_CHUNKS, n // _CHUNK_SYMS))
+
+
+def _frame(chunks: List[bytes]) -> bytes:
+    """[u8 n][u32le len]*n + payloads — our per-image stream framing."""
+    head = bytes([len(chunks)]) + b"".join(
+        len(c).to_bytes(4, "little") for c in chunks)
+    return head + b"".join(chunks)
+
+
+def _unframe(data: bytes) -> List[bytes]:
+    n = data[0]
+    lens = [int.from_bytes(data[1 + 4 * i: 5 + 4 * i], "little") for i in range(n)]
+    out = []
+    off = 1 + 4 * n
+    for ln in lens:
+        out.append(data[off: off + ln])
+        off += ln
+    return out
+
+
+def _encode_one(symbols: np.ndarray, indexes: np.ndarray, t: CdfTables) -> bytes:
+    sym = symbols.ravel()
+    idx = indexes.ravel()
+    k = _n_chunks(sym.size)
+    bounds = np.linspace(0, sym.size, k + 1, dtype=np.int64)
+
+    def enc_chunk(j):
+        enc = BufferedRansEncoder()
+        enc.encode_with_indexes(sym[bounds[j]:bounds[j + 1]],
+                                idx[bounds[j]:bounds[j + 1]],
+                                t.quantized_cdf, t.cdf_length, t.offset)
+        return enc.flush()
+
+    if k == 1:
+        return _frame([enc_chunk(0)])
+    return _frame(list(_CODER_POOL.map(enc_chunk, range(k))))
+
+
+def _decode_one(data: bytes, indexes: np.ndarray, t: CdfTables) -> np.ndarray:
+    lut = _lut_for(t)
+    idx = indexes.ravel()
+    chunks = _unframe(data)
+    bounds = np.linspace(0, idx.size, len(chunks) + 1, dtype=np.int64)
+
+    def dec_chunk(j):
+        return RansDecoder(chunks[j]).decode_stream(
+            idx[bounds[j]:bounds[j + 1]], t.quantized_cdf, t.cdf_length,
+            t.offset, lut=lut)
+
+    if len(chunks) == 1:
+        parts = [dec_chunk(0)]
+    else:
+        parts = list(_CODER_POOL.map(dec_chunk, range(len(chunks))))
+    return np.concatenate(parts).reshape(indexes.shape)
+
 
 def _encode_planes(symbols: np.ndarray, indexes: np.ndarray, t: CdfTables) -> List[bytes]:
     """Per-image rANS encode of (B, ...) int32 symbol/index arrays.
 
-    Batched images code in parallel threads — ctypes releases the GIL
-    during the C call, so this is real parallelism on host cores.
+    Each image's plane is split into independently-coded sub-streams (our
+    framing, ~5 bytes/chunk overhead) so both single-image latency and
+    batch throughput use all host cores; ctypes releases the GIL during
+    the C calls.
     """
-
-    def one(i):
-        enc = BufferedRansEncoder()
-        enc.encode_with_indexes(symbols[i].ravel(), indexes[i].ravel(),
-                                t.quantized_cdf, t.cdf_length, t.offset)
-        return enc.flush()
-
     if symbols.shape[0] == 1:
-        return [one(0)]
-    return list(_CODER_POOL.map(one, range(symbols.shape[0])))
+        return [_encode_one(symbols[0], indexes[0], t)]
+    return list(_CODER_POOL.map(
+        lambda i: _encode_one(symbols[i], indexes[i], t),
+        range(symbols.shape[0])))
 
 
 def _decode_planes(strings: Sequence[bytes], indexes: np.ndarray, t: CdfTables) -> np.ndarray:
-    lut = _lut_for(t)
-
-    def one(args):
-        i, s = args
-        return RansDecoder(s).decode_stream(indexes[i], t.quantized_cdf,
-                                            t.cdf_length, t.offset, lut=lut)
-
     if len(strings) == 1:
-        return np.stack([one((0, strings[0]))])
-    return np.stack(list(_CODER_POOL.map(one, enumerate(strings))))
+        return np.stack([_decode_one(strings[0], indexes[0], t)])
+    return np.stack(list(_CODER_POOL.map(
+        lambda i: _decode_one(strings[i], indexes[i], t), range(len(strings)))))
 
 
 class CheckerboardCodec(CodecBase):
