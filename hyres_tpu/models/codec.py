@@ -65,9 +65,12 @@ def _lut_for(t: CdfTables) -> RansLut:
 _CODER_POOL = concurrent.futures.ThreadPoolExecutor(8)
 
 # symbols per sub-stream chunk; planes larger than this are split into
-# independently-coded chunks so a SINGLE image codes on multiple cores
+# independently-coded chunks so a SINGLE image codes on multiple cores.
+# On single-core hosts chunking only adds overhead, so cap by cpu count.
+import os
+
 _CHUNK_SYMS = 131072
-_MAX_CHUNKS = 8
+_MAX_CHUNKS = max(1, min(8, os.cpu_count() or 1))
 
 
 def _n_chunks(n: int) -> int:
