@@ -176,39 +176,49 @@ class CheckerboardCodec(CodecBase):
         # differently-fused XLA programs may differ by 1 ulp, which can
         # flip a scale-table index and desync the rANS decode — the same
         # reason the reference pins cudnn determinism in its codec paths,
-        # /root/reference/models/cheng2020.py:108,148). The encoder
-        # therefore produces only (y, z_sym) itself and reuses dec_stage1/
-        # dec_stage2 for every coder-facing tensor.
+        # /root/reference/models/cheng2020.py:108,148). Therefore BOTH
+        # sides run dec_stage1/dec_stage2 for every coder-facing tensor;
+        # the stages also emit the quantized symbols (from the encoder's
+        # y; the decoder feeds zeros and ignores that output — the symbol
+        # math is elementwise, so the waste is negligible and the fusion
+        # of the shared params is identical on both sides).
+        #
+        # Transfer dtypes are minimized for the host hop: symbols int16
+        # (values are clipped; both sides code the same clipped integer),
+        # scale-table indexes uint8 (64 levels).
 
         @jax.jit
         def enc_analysis(x):
             y, z = apply(model.analysis, x)
             med = apply(model.eb_medians)
-            z_sym = jnp.round(z - med).astype(jnp.int32)
+            z_sym = jnp.clip(jnp.round(z - med), -32000, 32000).astype(jnp.int16)
             return y, z_sym
 
-        @functools.partial(jax.jit, static_argnums=(2,))
-        def enc_symbols(y, means_packed, parity):
+        def _symbols(y, means_packed, parity):
             y_p = checkerboard.pack(y, parity)
-            return jnp.round(y_p - means_packed).astype(jnp.int32)
+            s = jnp.round(y_p - means_packed)
+            return jnp.clip(s, -32000, 32000).astype(jnp.int16)
 
         @jax.jit
-        def dec_stage1(z_sym):
+        def dec_stage1(z_sym, y):
             med = apply(model.eb_medians)
             z_hat = z_sym.astype(jnp.float32) + med
             lp = apply(model.hyper_synthesis, z_hat)
             sa, ma = apply(model.anchor_params, lp)
             sa_p = checkerboard.pack(sa, ANCHOR)
             ma_p = checkerboard.pack(ma, ANCHOR)
-            return lp, build_indexes(sa_p, table), ma_p
+            a_idx = build_indexes(sa_p, table).astype(jnp.uint8)
+            return lp, a_idx, ma_p, _symbols(y, ma_p, ANCHOR)
 
         @jax.jit
-        def dec_stage2(lp, a_sym, ma_p):
-            y_anchor_hat = checkerboard.unpack(a_sym.astype(ma_p.dtype) + ma_p, ANCHOR)
+        def dec_stage2(lp, a_sym, ma_p, y):
+            y_anchor_hat = checkerboard.unpack(
+                a_sym.astype(ma_p.dtype) + ma_p, ANCHOR)
             sn, mn = apply(model.nonanchor_params, lp, y_anchor_hat)
             sn_p = checkerboard.pack(sn, NON_ANCHOR)
             mn_p = checkerboard.pack(mn, NON_ANCHOR)
-            return y_anchor_hat, build_indexes(sn_p, table), mn_p
+            n_idx = build_indexes(sn_p, table).astype(jnp.uint8)
+            return y_anchor_hat, n_idx, mn_p, _symbols(y, mn_p, NON_ANCHOR)
 
         clamp = self.clamp
 
@@ -221,7 +231,7 @@ class CheckerboardCodec(CodecBase):
                 x_hat = jnp.clip(x_hat, clamp[0], clamp[1])
             return x_hat
 
-        self._enc_analysis, self._enc_symbols = enc_analysis, enc_symbols
+        self._enc_analysis = enc_analysis
         self._dec_stage1, self._dec_stage2, self._dec_stage3 = (
             dec_stage1, dec_stage2, dec_stage3)
 
@@ -233,10 +243,11 @@ class CheckerboardCodec(CodecBase):
         size = (int(x.shape[1]), int(x.shape[2]))
         x = pad_to_multiple(x, 64)  # 3 stride-2 stages + hyper /4 => /64
         y, z_sym = self._enc_analysis(x)
-        lp, a_idx, ma_p = self._dec_stage1(z_sym)
-        a_sym = self._enc_symbols(y, ma_p, ANCHOR)
-        _, n_idx, mn_p = self._dec_stage2(lp, a_sym, ma_p)
-        n_sym = self._enc_symbols(y, mn_p, NON_ANCHOR)
+        return self._compress_from_latents(y, z_sym, size, start)
+
+    def _compress_from_latents(self, y, z_sym, size, start) -> Dict:
+        lp, a_idx, ma_p, a_sym = self._dec_stage1(z_sym, y)
+        _, n_idx, mn_p, n_sym = self._dec_stage2(lp, a_sym, ma_p, y)
         jax.block_until_ready((z_sym, a_sym, a_idx, n_sym, n_idx))
 
         z_strings = self._eb_encode(np.asarray(z_sym))
@@ -255,13 +266,24 @@ class CheckerboardCodec(CodecBase):
                    size: Tuple[int, int] | None = None) -> Dict:
         self._require_tables()
         start = time.time()
-        z_sym = self._eb_decode(strings[1], shape)
-        lp, a_idx, ma_p = self._dec_stage1(jnp.asarray(z_sym))
-        a_sym = _decode_planes(strings[0][0], np.asarray(a_idx), self.gauss_tables)
-        y_anchor_hat, n_idx, mn_p = self._dec_stage2(lp, jnp.asarray(a_sym), ma_p)
-        n_sym = _decode_planes(strings[0][1], np.asarray(n_idx), self.gauss_tables)
-        x_hat = self._dec_stage3(y_anchor_hat, jnp.asarray(n_sym), mn_p)
+        stages = self._decode_latent_stages(strings, shape)
+        x_hat = self._dec_stage3(*stages)
         if size is not None:
             x_hat = x_hat[:, : size[0], : size[1], :]
         x_hat.block_until_ready()
         return {"x_hat": x_hat, "time": time.time() - start}
+
+    def _decode_latent_stages(self, strings, shape):
+        """Shared decode choreography up to (y_anchor_hat, n_sym, mn_p)."""
+        B = len(strings[1])
+        z_sym = self._eb_decode(strings[1], shape).astype(np.int16)
+        y_zero = jnp.zeros((B, shape[0] * 4, shape[1] * 4, self.model.M),
+                           jnp.float32)
+        lp, a_idx, ma_p, _ = self._dec_stage1(jnp.asarray(z_sym), y_zero)
+        a_sym = _decode_planes(strings[0][0], np.asarray(a_idx),
+                               self.gauss_tables).astype(np.int16)
+        y_anchor_hat, n_idx, mn_p, _ = self._dec_stage2(
+            lp, jnp.asarray(a_sym), ma_p, y_zero)
+        n_sym = _decode_planes(strings[0][1], np.asarray(n_idx),
+                               self.gauss_tables).astype(np.int16)
+        return y_anchor_hat, jnp.asarray(n_sym), mn_p

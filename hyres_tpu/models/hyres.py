@@ -106,18 +106,31 @@ class HyresCodec:
         self._residual = CheckerboardCodec(
             LightWeightCheckerboard(model.N, model.M), res_params, clamp=None)
 
-        @jax.jit
-        def jpeg_decode_and_residual(x, cy, ccb, ccr):
-            dec = decode_from_coefficients(
-                cy, ccb, ccr, model.jpeg_quality, x.shape[1], x.shape[2])
-            return dec, x - dec
-
-        @jax.jit
-        def refine_stage(jpeg_decoded, residual_hat):
-            x_init = jpeg_decoded + residual_hat
-            return model.apply(self.params, x_init, method=model.refine_stage)
-
         residual = self._residual
+
+        @jax.jit
+        def enc_front(x):
+            """One fused program: JPEG coefficients + on-device JPEG decode
+            + residual + g_a/h_a analysis. None of this is recomputed by
+            the decoder, so fusing it does not touch the bit-exactness
+            invariant (the shared dec_stage1/2 handle the entropy params).
+            """
+            coef = encode_to_coefficients(x, model.jpeg_quality)
+            dec = decode_from_coefficients(
+                coef.y, coef.cb, coef.cr, model.jpeg_quality,
+                x.shape[1], x.shape[2])
+            res = x - dec
+            from .codec import pad_to_multiple
+
+            res64 = pad_to_multiple(res, 64)
+            y, z = residual.model.apply(residual.params, res64,
+                                        method=residual.model.analysis)
+            med = residual.model.apply(residual.params,
+                                       method=residual.model.eb_medians)
+            z_sym = jnp.clip(jnp.round(z - med), -32000, 32000).astype(jnp.int16)
+            coef16 = (coef.y.astype(jnp.int16), coef.cb.astype(jnp.int16),
+                      coef.cr.astype(jnp.int16))
+            return coef16, y, z_sym
 
         from ..nn import checkerboard
         from ..nn.checkerboard import NON_ANCHOR
@@ -135,8 +148,7 @@ class HyresCodec:
             x_init = jpeg_decoded + res_hat[:, :H, :W, :]
             return model.apply(self.params, x_init, method=model.refine_stage)
 
-        self._jpeg_decode_and_residual = jpeg_decode_and_residual
-        self._refine_stage = refine_stage
+        self._enc_front = enc_front
         self._dec_final = dec_final
 
     def update(self, scale_table=None, force: bool = False) -> bool:
@@ -145,14 +157,14 @@ class HyresCodec:
     def compress(self, x: jax.Array) -> Dict:
         start = time.time()
         q = self.model.jpeg_quality
-        coef = encode_to_coefficients(x, q)
-        y, cb, cr = (np.asarray(a) for a in (coef.y, coef.cb, coef.cr))
+        size = (int(x.shape[1]), int(x.shape[2]))
+        (cy, ccb, ccr), y, z_sym = self._enc_front(x)
+        ynp, cbnp, crnp = np.asarray(cy), np.asarray(ccb), np.asarray(ccr)
         jpeg_buffers: List[bytes] = [
-            assemble_jfif(y[i], cb[i], cr[i], coef.width, coef.height, q)
-            for i in range(y.shape[0])
+            assemble_jfif(ynp[i], cbnp[i], crnp[i], size[1], size[0], q)
+            for i in range(ynp.shape[0])
         ]
-        _, residual = self._jpeg_decode_and_residual(x, coef.y, coef.cb, coef.cr)
-        out = self._residual.compress(residual)
+        out = self._residual._compress_from_latents(y, z_sym, size, start)
         out["jpeg_buffers"] = jpeg_buffers
         out["time"] = time.time() - start
         return out
@@ -172,16 +184,9 @@ class HyresCodec:
         # fuses residual synthesis + refinement
         r = self._residual
         r._require_tables()
-        strings = compressed["strings"]
-        z_sym = r._eb_decode(strings[1], compressed["shape"])
-        lp, a_idx, ma_p = r._dec_stage1(jnp.asarray(z_sym))
-        from .codec import _decode_planes
-
-        a_sym = _decode_planes(strings[0][0], np.asarray(a_idx), r.gauss_tables)
-        y_anchor_hat, n_idx, mn_p = r._dec_stage2(lp, jnp.asarray(a_sym), ma_p)
-        n_sym = _decode_planes(strings[0][1], np.asarray(n_idx), r.gauss_tables)
-        x_hat = self._dec_final(y_anchor_hat, jnp.asarray(n_sym), mn_p,
-                                jpeg_decoded)
+        y_anchor_hat, n_sym, mn_p = r._decode_latent_stages(
+            compressed["strings"], compressed["shape"])
+        x_hat = self._dec_final(y_anchor_hat, n_sym, mn_p, jpeg_decoded)
         x_hat.block_until_ready()
         return {"x_hat": x_hat, "time": time.time() - start}
 
