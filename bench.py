@@ -65,9 +65,11 @@ def main():
     imgs = [jnp.asarray(np.asarray(Image.open(p).convert("RGB"),
                                    np.float32)[None] / 255.0) for p in paths]
 
-    # warm-up: compile every stage
-    r = codec.inference(imgs[0])
-    jax.block_until_ready(r["x_hat"])
+    # warm-up: compile every stage for each distinct image shape
+    # (Kodak mixes 768x512 and 512x768)
+    for shape in {im.shape for im in imgs}:
+        warm = next(im for im in imgs if im.shape == shape)
+        jax.block_until_ready(codec.inference(warm)["x_hat"])
 
     import sys
 
