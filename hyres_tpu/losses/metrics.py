@@ -64,7 +64,10 @@ def ms_ssim(x: jax.Array, y: jax.Array, data_range: float = 1.0) -> jax.Array:
     vals = []
     for i in range(5):
         ssim, cs = _ssim_components(x, y, win, data_range)
-        vals.append(jnp.where(i < 4, jax.nn.relu(cs), jax.nn.relu(ssim)))
+        # clip to [0,1]: the E[x^2]-mu^2 variance form can go slightly
+        # negative on near-identical inputs, pushing cs/ssim above 1
+        vals.append(jnp.where(i < 4, jnp.clip(cs, 0.0, 1.0),
+                              jnp.clip(ssim, 0.0, 1.0)))
         if i < 4:
             x = jax.lax.reduce_window(
                 x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0

@@ -45,3 +45,12 @@ def test_average_meter():
     m.update(1.0)
     m.update(3.0)
     assert m.avg == 2.0 and m.count == 2
+
+
+def test_ms_ssim_bounded_on_near_identical(rng_np):
+    """Regression: near-identical inputs must not push MS-SSIM above 1
+    (variance cancellation in the E[x^2]-mu^2 form)."""
+    x = jnp.asarray(rng_np.random((1, 192, 192, 3)).astype(np.float32))
+    y = jnp.clip(x + 1e-4 * jnp.asarray(rng_np.normal(0, 1, x.shape)), 0, 1)
+    v = float(ms_ssim(x, y.astype(jnp.float32)))
+    assert 0.0 <= v <= 1.0
