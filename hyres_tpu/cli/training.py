@@ -32,6 +32,9 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="HyRES-TPU training")
     p.add_argument("-d", "--dataset", type=str, required=True,
                    help="root with train/ and test/ image folders")
+    p.add_argument("--model", type=str, default="hyres",
+                   choices=["hyres", "checkerboard", "elic", "cheng2020"],
+                   help="model family (hyres = JPEG base + residual codec)")
     p.add_argument("--N", type=int, default=128)
     p.add_argument("--M", type=int, default=192)
     p.add_argument("--jpeg-quality", type=int, default=1)
@@ -92,7 +95,19 @@ def main(argv=None):
     train_loader = DataLoader(train_set, args.batch_size, seed=args.seed,
                               num_workers=args.num_workers)
 
-    model = ResidualJPEGCompression(N=args.N, M=args.M, jpeg_quality=args.jpeg_quality)
+    if args.model == "hyres":
+        model = ResidualJPEGCompression(N=args.N, M=args.M,
+                                        jpeg_quality=args.jpeg_quality)
+    elif args.model == "checkerboard":
+        from ..models import LightWeightCheckerboard
+        model = LightWeightCheckerboard(N=args.N, M=args.M)
+    elif args.model == "elic":
+        from ..models import LightWeightELIC
+        model = LightWeightELIC(N=args.N if args.N != 128 else 192,
+                                M=args.M if args.M != 192 else 320)
+    else:
+        from ..models import Cheng2020withCheckerboard
+        model = Cheng2020withCheckerboard(N=args.N if args.N != 128 else 192)
     rng = jax.random.key(args.seed)
     init_shape = (1, args.patch_size[0], args.patch_size[1], 3)
     params = model.init(jax.random.key(0), jnp.zeros(init_shape),
