@@ -388,7 +388,7 @@ void *hyj_dec_new(const uint8_t *data, int64_t size) {
         while (seg < segend) {
           const int prec = seg[0] >> 4, id = seg[0] & 15;
           ++seg;
-          if (id > 3) return fail();
+          if (id > 3 || seg + 64 * (prec ? 2 : 1) > segend) return fail();
           for (int k = 0; k < 64; ++k) {
             int32_t q = prec ? ((seg[0] << 8) | seg[1]) : seg[0];
             seg += prec ? 2 : 1;
@@ -399,6 +399,7 @@ void *hyj_dec_new(const uint8_t *data, int64_t size) {
       }
       case 0xC4: {  // DHT
         while (seg < segend) {
+          if (seg + 17 > segend) return fail();
           const int cls = seg[0] >> 4, id = seg[0] & 15;
           if (id > 3) return fail();
           uint8_t bits[17] = {0};
@@ -407,6 +408,7 @@ void *hyj_dec_new(const uint8_t *data, int64_t size) {
             bits[i] = seg[i];
             total += bits[i];
           }
+          if (total > 256 || seg + 17 + total > segend) return fail();
           const uint8_t *vals = seg + 17;
           if (cls == 0)
             build_dec_table(bits, vals, d->dc_tabs[id]);
@@ -418,31 +420,42 @@ void *hyj_dec_new(const uint8_t *data, int64_t size) {
       }
       case 0xC0:
       case 0xC1: {  // SOF0/1 (baseline / extended sequential)
+        if (seg + 6 > segend) return fail();
         d->height = (seg[1] << 8) | seg[2];
         d->width = (seg[3] << 8) | seg[4];
         d->ncomp = seg[5];
         if (d->ncomp != 1 && d->ncomp != 3) return fail();
+        if (seg + 6 + 3 * d->ncomp > segend) return fail();
         for (int c = 0; c < d->ncomp; ++c) {
           d->h[c] = seg[7 + c * 3] >> 4;
           d->v[c] = seg[7 + c * 3] & 15;
           d->qtab_id[c] = seg[8 + c * 3];
+          if (d->h[c] < 1 || d->h[c] > 2 || d->v[c] < 1 || d->v[c] > 2 ||
+              d->qtab_id[c] > 3)
+            return fail();
         }
+        if (d->width <= 0 || d->height <= 0 || d->width > 1 << 15 ||
+            d->height > 1 << 15)
+          return fail();
         got_sof = true;
         break;
       }
       case 0xC2:
         return fail();  // progressive unsupported
       case 0xDD:
+        if (seg + 2 > segend) return fail();
         d->restart_interval = (seg[0] << 8) | seg[1];
         break;
       case 0xDA: {  // SOS — entropy data follows
-        if (!got_sof) return fail();
+        if (!got_sof || seg >= segend) return fail();
         const int ns = seg[0];
+        if (ns < 1 || ns > 3 || seg + 1 + 2 * ns > segend) return fail();
         for (int i = 0; i < ns; ++i) {
           // component ids are 1-based in our streams and libjpeg's
           const int ci = i;
           d->dc_id[ci] = seg[2 + i * 2] >> 4;
           d->ac_id[ci] = seg[2 + i * 2] & 15;
+          if (d->dc_id[ci] > 3 || d->ac_id[ci] > 3) return fail();
         }
         const uint8_t *scan = segend;
 

@@ -65,16 +65,20 @@ inline uint64_t dec_init(const uint32_t *&ptr) {
   return st;
 }
 
-inline void dec_renorm(uint64_t &st, const uint32_t *&ptr) {
+// bounded renorm: truncated/corrupt streams feed zeros instead of
+// reading past the buffer
+inline void dec_renorm(uint64_t &st, const uint32_t *&ptr,
+                       const uint32_t *end) {
   if (st < kRansLow) {
-    st = (st << 32) | *ptr++;
+    st = (st << 32) | (ptr < end ? *ptr++ : 0u);
   }
 }
 
-inline uint32_t dec_get_bits(uint64_t &st, const uint32_t *&ptr, uint32_t nbits) {
+inline uint32_t dec_get_bits(uint64_t &st, const uint32_t *&ptr,
+                             const uint32_t *end, uint32_t nbits) {
   const uint32_t val = static_cast<uint32_t>(st) & ((1u << nbits) - 1);
   st >>= nbits;
-  dec_renorm(st, ptr);
+  dec_renorm(st, ptr, end);
   return val;
 }
 
@@ -88,6 +92,7 @@ struct Encoder {
 struct Decoder {
   std::vector<uint8_t> data;   // padded copy so we can read 32-bit words
   const uint32_t *ptr = nullptr;
+  const uint32_t *end = nullptr;  // hard bound: truncated/corrupt streams
   uint64_t st = 0;
 };
 
@@ -177,6 +182,12 @@ void *hyc_dec_new(const uint8_t *data, int64_t size) {
   d->data.assign(data, data + size);
   d->data.resize(((size + 3) / 4) * 4 + 8, 0);  // pad for word reads
   d->ptr = reinterpret_cast<const uint32_t *>(d->data.data());
+  d->end = reinterpret_cast<const uint32_t *>(d->data.data() + d->data.size());
+  if (size < 8) {  // too short to hold the flushed state: decode zeros
+    d->st = kRansLow;
+    d->ptr = d->end;
+    return d;
+  }
   d->st = dec_init(d->ptr);
   return d;
 }
@@ -196,25 +207,25 @@ void hyc_dec_stream(void *d_, const int32_t *indexes, int64_t n,
     const uint32_t cum = static_cast<uint32_t>(d.st) & ((1u << kPrecision) - 1);
     // CDF rows are short (<= ~400 entries); linear scan is cache-friendly
     int32_t s = 0;
-    while (static_cast<uint32_t>(cdf[s + 1]) <= cum) ++s;
+    while (s < max_value + 1 && static_cast<uint32_t>(cdf[s + 1]) <= cum) ++s;
 
     const uint32_t start = static_cast<uint32_t>(cdf[s]);
     const uint32_t freq = static_cast<uint32_t>(cdf[s + 1]) - start;
     d.st = freq * (d.st >> kPrecision) + cum - start;
-    dec_renorm(d.st, d.ptr);
+    dec_renorm(d.st, d.ptr, d.end);
 
     int32_t value = s;
     if (value == max_value) {
       uint32_t n_chunks = 0;
-      uint32_t v = dec_get_bits(d.st, d.ptr, kBypassBits);
+      uint32_t v = dec_get_bits(d.st, d.ptr, d.end, kBypassBits);
       n_chunks = v;
       while (v == kMaxBypass) {
-        v = dec_get_bits(d.st, d.ptr, kBypassBits);
+        v = dec_get_bits(d.st, d.ptr, d.end, kBypassBits);
         n_chunks += v;
       }
       uint32_t raw_val = 0;
       for (uint32_t j = 0; j < n_chunks; ++j) {
-        raw_val |= dec_get_bits(d.st, d.ptr, kBypassBits) << (j * kBypassBits);
+        raw_val |= dec_get_bits(d.st, d.ptr, d.end, kBypassBits) << (j * kBypassBits);
       }
       value = static_cast<int32_t>(raw_val >> 1);
       if (raw_val & 1) {
@@ -281,19 +292,19 @@ void hyc_dec_stream_lut(void *d_, void *l_, const int32_t *indexes, int64_t n,
     const uint32_t start = static_cast<uint32_t>(cdf[s]);
     const uint32_t freq = static_cast<uint32_t>(cdf[s + 1]) - start;
     d.st = freq * (d.st >> kPrecision) + cum - start;
-    dec_renorm(d.st, d.ptr);
+    dec_renorm(d.st, d.ptr, d.end);
 
     int32_t value = s;
     if (value == max_value) {
-      uint32_t v = dec_get_bits(d.st, d.ptr, kBypassBits);
+      uint32_t v = dec_get_bits(d.st, d.ptr, d.end, kBypassBits);
       uint32_t n_chunks = v;
       while (v == kMaxBypass) {
-        v = dec_get_bits(d.st, d.ptr, kBypassBits);
+        v = dec_get_bits(d.st, d.ptr, d.end, kBypassBits);
         n_chunks += v;
       }
       uint32_t raw_val = 0;
       for (uint32_t j = 0; j < n_chunks; ++j) {
-        raw_val |= dec_get_bits(d.st, d.ptr, kBypassBits) << (j * kBypassBits);
+        raw_val |= dec_get_bits(d.st, d.ptr, d.end, kBypassBits) << (j * kBypassBits);
       }
       value = static_cast<int32_t>(raw_val >> 1);
       if (raw_val & 1) {

@@ -111,3 +111,46 @@ def test_golden_kodim01_q1_regression(kodim01):
     psnr = -10 * np.log10(np.mean((np.asarray(dec)[0] - kodim01) ** 2))
     assert abs(float(bpp[0]) - 0.1907) < 0.003
     assert abs(psnr - 19.96) < 0.1
+
+
+def test_fuzz_parser_no_crash(kodim01, rng_np):
+    """Mutated valid streams + random garbage must never crash the C++
+    parser — either parse or raise ValueError."""
+    import io
+    from PIL import Image as _Image
+
+    img = _Image.fromarray((kodim01[:64, :64] * 255).astype(np.uint8))
+    bio = io.BytesIO()
+    img.save(bio, "JPEG", quality=30)
+    base = bytearray(bio.getvalue())
+    for trial in range(300):
+        buf = bytearray(base)
+        for _ in range(int(rng_np.integers(1, 8))):
+            pos = int(rng_np.integers(0, len(buf)))
+            buf[pos] = int(rng_np.integers(0, 256))
+        try:
+            ParsedJpeg(bytes(buf))
+        except ValueError:
+            pass
+    for trial in range(100):
+        n = int(rng_np.integers(4, 400))
+        junk = b"\xff\xd8" + bytes(rng_np.integers(0, 256, n).astype(np.uint8))
+        try:
+            ParsedJpeg(junk)
+        except ValueError:
+            pass
+
+
+def test_fuzz_rans_decoder_no_crash(rng_np):
+    """Random bytes through the rANS decoder: bounded reads, no crash."""
+    from hyres_tpu.coding import RansDecoder
+    from hyres_tpu.entropy import build_gaussian_tables, get_scale_table
+
+    t = build_gaussian_tables(get_scale_table())
+    idx = rng_np.integers(0, 64, 5000).astype(np.int32)
+    for trial in range(50):
+        n = int(rng_np.integers(0, 200))
+        junk = bytes(rng_np.integers(0, 256, n).astype(np.uint8))
+        out = RansDecoder(junk).decode_stream(
+            idx, t.quantized_cdf, t.cdf_length, t.offset)
+        assert out.shape == idx.shape  # garbage symbols, but no crash
