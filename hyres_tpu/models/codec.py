@@ -246,13 +246,13 @@ class CheckerboardCodec(CodecBase):
         return self._compress_from_latents(y, z_sym, size, start)
 
     def _compress_from_latents(self, y, z_sym, size, start) -> Dict:
+        # dispatch is async: the host rANS work for each plane overlaps the
+        # device compute of the next stage
         lp, a_idx, ma_p, a_sym = self._dec_stage1(z_sym, y)
+        z_strings = self._eb_encode(np.asarray(z_sym))      # overlaps stage1
         _, n_idx, mn_p, n_sym = self._dec_stage2(lp, a_sym, ma_p, y)
-        jax.block_until_ready((z_sym, a_sym, a_idx, n_sym, n_idx))
-
-        z_strings = self._eb_encode(np.asarray(z_sym))
         anchor_strings = _encode_planes(np.asarray(a_sym), np.asarray(a_idx),
-                                        self.gauss_tables)
+                                        self.gauss_tables)  # overlaps stage2
         nonanchor_strings = _encode_planes(np.asarray(n_sym), np.asarray(n_idx),
                                            self.gauss_tables)
         return {

@@ -159,12 +159,14 @@ class HyresCodec:
         q = self.model.jpeg_quality
         size = (int(x.shape[1]), int(x.shape[2]))
         (cy, ccb, ccr), y, z_sym = self._enc_front(x)
+        # residual coding first: its stage dispatches overlap the JPEG
+        # coefficient download + JFIF assembly below
+        out = self._residual._compress_from_latents(y, z_sym, size, start)
         ynp, cbnp, crnp = np.asarray(cy), np.asarray(ccb), np.asarray(ccr)
         jpeg_buffers: List[bytes] = [
             assemble_jfif(ynp[i], cbnp[i], crnp[i], size[1], size[0], q)
             for i in range(ynp.shape[0])
         ]
-        out = self._residual._compress_from_latents(y, z_sym, size, start)
         out["jpeg_buffers"] = jpeg_buffers
         out["time"] = time.time() - start
         return out
