@@ -66,6 +66,9 @@ def parse_args(argv=None):
                    help="epochs of noise quantization before STE switch")
     p.add_argument("--steps-per-epoch", type=int, default=None,
                    help="cap steps per epoch (useful for small runs)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the forward in backward (activation "
+                        "memory for ~30%% extra FLOPs; lifts max batch)")
     p.add_argument("--save-every", type=int, default=1,
                    help="checkpoint every N epochs (device->host transfer "
                         "of the full state is expensive over the TPU tunnel)")
@@ -141,7 +144,8 @@ def main(argv=None):
               "perceptual term uses random features")
     step_fn = make_train_step(model, main_tx, aux_tx, lmbda=args.lmbda,
                               alpha=args.alpha, vgg_fn=vgg_fn,
-                              accum_steps=args.gradient_accumulation_steps)
+                              accum_steps=args.gradient_accumulation_steps,
+                              remat=args.remat)
     eval_fn = make_eval_step(model, lmbda=args.lmbda, alpha=args.alpha, vgg_fn=vgg_fn)
 
     mesh = data_parallel_mesh()

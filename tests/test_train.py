@@ -144,3 +144,20 @@ def test_eval_step(tiny):
     d, out = ev(state.params, batch)
     assert np.isfinite(float(d["psnr"]))
     assert out["x_hat"].shape == batch.shape
+
+
+def test_remat_step_matches_plain():
+    """jax.checkpoint variant computes the same loss/update."""
+    model = TinyCodec()
+    x = jnp.zeros((2, 16, 16, 3))
+    params = model.init(jax.random.key(0), x)
+    main_tx, aux_tx = configure_optimizers(params, 1e-3, 1e-2)
+    state = create_train_state(params, main_tx, aux_tx)
+    batch = jax.random.uniform(jax.random.key(1), (2, 16, 16, 3))
+    s_plain = make_train_step(model, main_tx, aux_tx, lmbda=0.01)
+    s_remat = make_train_step(model, main_tx, aux_tx, lmbda=0.01, remat=True)
+    st1, m1 = s_plain(state, batch, jax.random.key(2), False)
+    st2, m2 = s_remat(state, batch, jax.random.key(2), False)
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
