@@ -42,7 +42,7 @@ class Cheng2020Codec(CodecBase):
         def enc_analysis(x):
             y, z = apply(model.analysis, x)
             med = apply(model.eb_medians)
-            z_sym = jnp.round(z - med).astype(jnp.int32)
+            z_sym = jnp.clip(jnp.round(z - med), -32000, 32000).astype(jnp.int16)
             return y, z_sym
 
         @jax.jit
@@ -54,7 +54,7 @@ class Cheng2020Codec(CodecBase):
             scales, means = apply(model.entropy_params, zeros_ctx, hyper)
             sa_p = checkerboard.pack(scales, CHENG_ANCHOR)
             ma_p = checkerboard.pack(means, CHENG_ANCHOR)
-            return hyper, build_indexes(sa_p, table), ma_p
+            return hyper, build_indexes(sa_p, table).astype(jnp.uint8), ma_p
 
         @jax.jit
         def dec_nonanchor(hyper, a_sym, ma_p):
@@ -66,7 +66,7 @@ class Cheng2020Codec(CodecBase):
             scales, means = apply(model.entropy_params, ctx, hyper)
             sn_p = checkerboard.pack(scales, CHENG_NONANCHOR)
             mn_p = checkerboard.pack(means, CHENG_NONANCHOR)
-            return y_anchor_hat, build_indexes(sn_p, table), mn_p
+            return y_anchor_hat, build_indexes(sn_p, table).astype(jnp.uint8), mn_p
 
         clamp = self.clamp
 
@@ -81,8 +81,8 @@ class Cheng2020Codec(CodecBase):
 
         @functools.partial(jax.jit, static_argnums=(2,))
         def enc_symbols(y, means_packed, parity):
-            return jnp.round(checkerboard.pack(y, parity) - means_packed
-                             ).astype(jnp.int32)
+            s = jnp.round(checkerboard.pack(y, parity) - means_packed)
+            return jnp.clip(s, -32000, 32000).astype(jnp.int16)
 
         self._enc_analysis = enc_analysis
         self._enc_symbols = enc_symbols
@@ -123,7 +123,7 @@ class Cheng2020Codec(CodecBase):
     def decompress(self, strings, shape, size=None) -> Dict:
         self._require_tables()
         start = time.time()
-        z_sym = self._eb_decode(strings[1], shape)
+        z_sym = self._eb_decode(strings[1], shape).astype(np.int16)
         hyper, a_idx, ma_p = self._dec_anchor(jnp.asarray(z_sym))
 
         gt = self.gauss_tables
@@ -134,13 +134,14 @@ class Cheng2020Codec(CodecBase):
                             gt.offset, lut=_lut_for(gt))
             for i, d in enumerate(decoders)])
         y_anchor_hat, n_idx, mn_p = self._dec_nonanchor(
-            hyper, jnp.asarray(a_sym), ma_p)
+            hyper, jnp.asarray(a_sym.astype(np.int16)), ma_p)
         n_idx_np = np.asarray(n_idx)
         n_sym = np.stack([
             d.decode_stream(n_idx_np[i], gt.quantized_cdf, gt.cdf_length,
                             gt.offset, lut=_lut_for(gt))
             for i, d in enumerate(decoders)])
-        x_hat = self._dec_synthesis(y_anchor_hat, jnp.asarray(n_sym), mn_p)
+        x_hat = self._dec_synthesis(y_anchor_hat,
+                                    jnp.asarray(n_sym.astype(np.int16)), mn_p)
         if size is not None:
             x_hat = x_hat[:, : size[0], : size[1], :]
         x_hat.block_until_ready()

@@ -48,7 +48,7 @@ class ElicCodec(CodecBase):
         def enc_analysis(x):
             y, z = apply(model.analysis, x)
             med = apply(model.eb_medians)
-            z_sym = jnp.round(z - med).astype(jnp.int32)
+            z_sym = jnp.clip(jnp.round(z - med), -32000, 32000).astype(jnp.int16)
             return y, z_sym
 
         @jax.jit
@@ -66,7 +66,7 @@ class ElicCodec(CodecBase):
         def dec_anchor(i, support):
             m, s = apply(model.slice_anchor_params, i, support)
             m_p = checkerboard.pack(m, ANCHOR)
-            idx = build_indexes(checkerboard.pack(s, ANCHOR), table)
+            idx = build_indexes(checkerboard.pack(s, ANCHOR), table).astype(jnp.uint8)
             return idx, m_p
 
         @functools.partial(jax.jit, static_argnums=(0,))
@@ -75,7 +75,7 @@ class ElicCodec(CodecBase):
                                                ANCHOR)
             m, s = apply(model.slice_nonanchor_params, i, support, y_anchor_hat)
             m_p = checkerboard.pack(m, NON_ANCHOR)
-            idx = build_indexes(checkerboard.pack(s, NON_ANCHOR), table)
+            idx = build_indexes(checkerboard.pack(s, NON_ANCHOR), table).astype(jnp.uint8)
             return y_anchor_hat, idx, m_p
 
         @jax.jit
@@ -95,7 +95,8 @@ class ElicCodec(CodecBase):
         @functools.partial(jax.jit, static_argnums=(2,))
         def enc_symbols(y_slice, means_packed, parity):
             y_p = checkerboard.pack(y_slice, parity)
-            return jnp.round(y_p - means_packed).astype(jnp.int32)
+            s = jnp.round(y_p - means_packed)
+            return jnp.clip(s, -32000, 32000).astype(jnp.int16)
 
         self._enc_analysis = enc_analysis
         self._enc_symbols = enc_symbols
@@ -165,7 +166,7 @@ class ElicCodec(CodecBase):
     def decompress(self, strings, shape, size=None) -> Dict:
         self._require_tables()
         t_start = time.time()
-        z_sym = self._eb_decode(strings[1], shape)
+        z_sym = self._eb_decode(strings[1], shape).astype(np.int16)
         means, scales = self._dec_hyper(jnp.asarray(z_sym))
 
         y_strings = strings[0]
@@ -177,9 +178,11 @@ class ElicCodec(CodecBase):
                 y_hat_slices[-1] if y_hat_slices else means[..., :0],
                 means, scales)
             a_idx, ma_p = self._dec_anchor(i, support)
-            a_sym = jnp.asarray(_decode_planes(y_strings[2 * i], np.asarray(a_idx), gt))
+            a_sym = jnp.asarray(_decode_planes(
+                y_strings[2 * i], np.asarray(a_idx), gt).astype(np.int16))
             y_anchor_hat, n_idx, mn_p = self._dec_nonanchor(i, support, a_sym, ma_p)
-            n_sym = jnp.asarray(_decode_planes(y_strings[2 * i + 1], np.asarray(n_idx), gt))
+            n_sym = jnp.asarray(_decode_planes(
+                y_strings[2 * i + 1], np.asarray(n_idx), gt).astype(np.int16))
             y_hat_slices.append(self._dec_combine(y_anchor_hat, n_sym, mn_p))
 
         x_hat = self._dec_synthesis(y_hat_slices)
