@@ -77,6 +77,25 @@ def quantize_symbols(x: jax.Array, means: jax.Array | None = None) -> jax.Array:
     return jnp.round(x).astype(jnp.int32)
 
 
+# symbols cross the host hop as int16; the bound leaves headroom below
+# int16 max and round-trips exactly through the coder's bypass escape.
+# Encoder clips BEFORE coding, so both sides always agree on the integer.
+SYMBOL_BOUND = 32000
+
+
+def quantize_symbols_i16(x: jax.Array, means: jax.Array | None = None) -> jax.Array:
+    """Clipped int16 symbols for the host hop (device side)."""
+    if means is not None:
+        x = x - means
+    return jnp.clip(jnp.round(x), -SYMBOL_BOUND, SYMBOL_BOUND).astype(jnp.int16)
+
+
+def narrow_symbols_i16(sym) -> "np.ndarray":
+    """Host-side narrowing of decoded int32 symbols: clamp (never wrap) so
+    corrupt-bitstream garbage stays detectable rather than aliasing."""
+    return np.clip(sym, -SYMBOL_BOUND, SYMBOL_BOUND).astype(np.int16)
+
+
 def dequantize(symbols: jax.Array, means: jax.Array | None = None,
                dtype=jnp.float32) -> jax.Array:
     out = symbols.astype(dtype)

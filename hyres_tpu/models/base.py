@@ -43,11 +43,23 @@ class CodecBase:
         return self.params["params"]["entropy_bottleneck"]
 
     def update(self, scale_table=None, force: bool = False) -> bool:
-        """Bake the Gaussian scale-table CDFs and the factorized-prior CDFs."""
+        """Bake the Gaussian scale-table CDFs and the factorized-prior CDFs.
+
+        The compiled coder stages close over the scale table at
+        construction time (it determines the index mapping on BOTH sides
+        of the channel), so a different table here would silently desync
+        indexes from the baked CDFs — reject it instead.
+        """
+        if scale_table is not None:
+            st = np.asarray(scale_table, np.float32)
+            if st.shape != self.scale_table.shape or not np.allclose(
+                    st, self.scale_table):
+                raise ValueError(
+                    "custom scale tables must be passed to the codec "
+                    "constructor (the compiled stages bind the table); "
+                    "update() only re-bakes CDFs for the bound table")
         if self.gauss_tables is not None and not force:
             return False
-        if scale_table is not None:
-            self.scale_table = np.asarray(scale_table, np.float32)
         self.gauss_tables = build_gaussian_tables(self.scale_table)
         self.eb_tables = build_bottleneck_tables(self._eb_param_dict())
         return True

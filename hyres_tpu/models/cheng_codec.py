@@ -19,6 +19,8 @@ import numpy as np
 from ..coding import BufferedRansEncoder, RansDecoder
 from ..entropy import (
     CdfTables,
+    narrow_symbols_i16,
+    quantize_symbols_i16,
     build_bottleneck_tables,
     build_gaussian_tables,
     build_indexes,
@@ -42,8 +44,7 @@ class Cheng2020Codec(CodecBase):
         def enc_analysis(x):
             y, z = apply(model.analysis, x)
             med = apply(model.eb_medians)
-            z_sym = jnp.clip(jnp.round(z - med), -32000, 32000).astype(jnp.int16)
-            return y, z_sym
+            return y, quantize_symbols_i16(z, med)
 
         @jax.jit
         def dec_anchor(z_sym):
@@ -81,8 +82,8 @@ class Cheng2020Codec(CodecBase):
 
         @functools.partial(jax.jit, static_argnums=(2,))
         def enc_symbols(y, means_packed, parity):
-            s = jnp.round(checkerboard.pack(y, parity) - means_packed)
-            return jnp.clip(s, -32000, 32000).astype(jnp.int16)
+            return quantize_symbols_i16(checkerboard.pack(y, parity),
+                                        means_packed)
 
         self._enc_analysis = enc_analysis
         self._enc_symbols = enc_symbols
@@ -123,7 +124,7 @@ class Cheng2020Codec(CodecBase):
     def decompress(self, strings, shape, size=None) -> Dict:
         self._require_tables()
         start = time.time()
-        z_sym = self._eb_decode(strings[1], shape).astype(np.int16)
+        z_sym = narrow_symbols_i16(self._eb_decode(strings[1], shape))
         hyper, a_idx, ma_p = self._dec_anchor(jnp.asarray(z_sym))
 
         gt = self.gauss_tables
@@ -134,14 +135,14 @@ class Cheng2020Codec(CodecBase):
                             gt.offset, lut=_lut_for(gt))
             for i, d in enumerate(decoders)])
         y_anchor_hat, n_idx, mn_p = self._dec_nonanchor(
-            hyper, jnp.asarray(a_sym.astype(np.int16)), ma_p)
+            hyper, jnp.asarray(narrow_symbols_i16(a_sym)), ma_p)
         n_idx_np = np.asarray(n_idx)
         n_sym = np.stack([
             d.decode_stream(n_idx_np[i], gt.quantized_cdf, gt.cdf_length,
                             gt.offset, lut=_lut_for(gt))
             for i, d in enumerate(decoders)])
-        x_hat = self._dec_synthesis(y_anchor_hat,
-                                    jnp.asarray(n_sym.astype(np.int16)), mn_p)
+        x_hat = self._dec_synthesis(
+            y_anchor_hat, jnp.asarray(narrow_symbols_i16(n_sym)), mn_p)
         if size is not None:
             x_hat = x_hat[:, : size[0], : size[1], :]
         x_hat.block_until_ready()

@@ -32,6 +32,8 @@ from ..coding import BufferedRansEncoder, RansDecoder
 from ..coding.rans import RansLut
 from ..entropy import (
     CdfTables,
+    narrow_symbols_i16,
+    quantize_symbols_i16,
     build_bottleneck_tables,
     build_gaussian_tables,
     build_indexes,
@@ -191,13 +193,10 @@ class CheckerboardCodec(CodecBase):
         def enc_analysis(x):
             y, z = apply(model.analysis, x)
             med = apply(model.eb_medians)
-            z_sym = jnp.clip(jnp.round(z - med), -32000, 32000).astype(jnp.int16)
-            return y, z_sym
+            return y, quantize_symbols_i16(z, med)
 
         def _symbols(y, means_packed, parity):
-            y_p = checkerboard.pack(y, parity)
-            s = jnp.round(y_p - means_packed)
-            return jnp.clip(s, -32000, 32000).astype(jnp.int16)
+            return quantize_symbols_i16(checkerboard.pack(y, parity), means_packed)
 
         @jax.jit
         def dec_stage1(z_sym, y):
@@ -276,14 +275,14 @@ class CheckerboardCodec(CodecBase):
     def _decode_latent_stages(self, strings, shape):
         """Shared decode choreography up to (y_anchor_hat, n_sym, mn_p)."""
         B = len(strings[1])
-        z_sym = self._eb_decode(strings[1], shape).astype(np.int16)
+        z_sym = narrow_symbols_i16(self._eb_decode(strings[1], shape))
         y_zero = jnp.zeros((B, shape[0] * 4, shape[1] * 4, self.model.M),
                            jnp.float32)
         lp, a_idx, ma_p, _ = self._dec_stage1(jnp.asarray(z_sym), y_zero)
-        a_sym = _decode_planes(strings[0][0], np.asarray(a_idx),
-                               self.gauss_tables).astype(np.int16)
+        a_sym = narrow_symbols_i16(_decode_planes(
+            strings[0][0], np.asarray(a_idx), self.gauss_tables))
         y_anchor_hat, n_idx, mn_p, _ = self._dec_stage2(
             lp, jnp.asarray(a_sym), ma_p, y_zero)
-        n_sym = _decode_planes(strings[0][1], np.asarray(n_idx),
-                               self.gauss_tables).astype(np.int16)
+        n_sym = narrow_symbols_i16(_decode_planes(
+            strings[0][1], np.asarray(n_idx), self.gauss_tables))
         return y_anchor_hat, jnp.asarray(n_sym), mn_p

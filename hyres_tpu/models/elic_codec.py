@@ -25,6 +25,8 @@ import numpy as np
 
 from ..entropy import (
     CdfTables,
+    narrow_symbols_i16,
+    quantize_symbols_i16,
     build_bottleneck_tables,
     build_gaussian_tables,
     build_indexes,
@@ -48,8 +50,7 @@ class ElicCodec(CodecBase):
         def enc_analysis(x):
             y, z = apply(model.analysis, x)
             med = apply(model.eb_medians)
-            z_sym = jnp.clip(jnp.round(z - med), -32000, 32000).astype(jnp.int16)
-            return y, z_sym
+            return y, quantize_symbols_i16(z, med)
 
         @jax.jit
         def dec_hyper(z_sym):
@@ -94,9 +95,8 @@ class ElicCodec(CodecBase):
 
         @functools.partial(jax.jit, static_argnums=(2,))
         def enc_symbols(y_slice, means_packed, parity):
-            y_p = checkerboard.pack(y_slice, parity)
-            s = jnp.round(y_p - means_packed)
-            return jnp.clip(s, -32000, 32000).astype(jnp.int16)
+            return quantize_symbols_i16(checkerboard.pack(y_slice, parity),
+                                        means_packed)
 
         self._enc_analysis = enc_analysis
         self._enc_symbols = enc_symbols
@@ -166,7 +166,7 @@ class ElicCodec(CodecBase):
     def decompress(self, strings, shape, size=None) -> Dict:
         self._require_tables()
         t_start = time.time()
-        z_sym = self._eb_decode(strings[1], shape).astype(np.int16)
+        z_sym = narrow_symbols_i16(self._eb_decode(strings[1], shape))
         means, scales = self._dec_hyper(jnp.asarray(z_sym))
 
         y_strings = strings[0]
@@ -178,11 +178,11 @@ class ElicCodec(CodecBase):
                 y_hat_slices[-1] if y_hat_slices else means[..., :0],
                 means, scales)
             a_idx, ma_p = self._dec_anchor(i, support)
-            a_sym = jnp.asarray(_decode_planes(
-                y_strings[2 * i], np.asarray(a_idx), gt).astype(np.int16))
+            a_sym = jnp.asarray(narrow_symbols_i16(_decode_planes(
+                y_strings[2 * i], np.asarray(a_idx), gt)))
             y_anchor_hat, n_idx, mn_p = self._dec_nonanchor(i, support, a_sym, ma_p)
-            n_sym = jnp.asarray(_decode_planes(
-                y_strings[2 * i + 1], np.asarray(n_idx), gt).astype(np.int16))
+            n_sym = jnp.asarray(narrow_symbols_i16(_decode_planes(
+                y_strings[2 * i + 1], np.asarray(n_idx), gt)))
             y_hat_slices.append(self._dec_combine(y_anchor_hat, n_sym, mn_p))
 
         x_hat = self._dec_synthesis(y_hat_slices)

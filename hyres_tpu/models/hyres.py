@@ -127,7 +127,9 @@ class HyresCodec:
                                         method=residual.model.analysis)
             med = residual.model.apply(residual.params,
                                        method=residual.model.eb_medians)
-            z_sym = jnp.clip(jnp.round(z - med), -32000, 32000).astype(jnp.int16)
+            from ..entropy import quantize_symbols_i16
+
+            z_sym = quantize_symbols_i16(z, med)
             coef16 = (coef.y.astype(jnp.int16), coef.cb.astype(jnp.int16),
                       coef.cr.astype(jnp.int16))
             return coef16, y, z_sym
