@@ -56,12 +56,27 @@ def build_codec(args, params):
     return model, Cheng2020Codec(model, params)
 
 
+def _nbytes(obj) -> int:
+    """Total byte length of an arbitrarily nested list of buffers.
+
+    The families lay out ``strings[0]`` differently — checkerboard/hyres:
+    ``[anchor_chunks, non_anchor_chunks]``; ELIC: interleaved per-slice
+    anchor/non-anchor lists (models/elic_codec.py); cheng2020: a single
+    flushed stream ``[y_string]`` (models/cheng_codec.py) — so count
+    recursively instead of assuming one shape (reference accounting:
+    /root/reference/src/inference.py:103-120).
+    """
+    if isinstance(obj, (bytes, bytearray, memoryview)):
+        return len(obj)
+    return sum(_nbytes(s) for s in obj)
+
+
 def strings_nbytes(comp) -> dict:
-    y_anchor = sum(len(s) for s in comp["strings"][0][0])
-    y_non = sum(len(s) for s in comp["strings"][0][1])
-    z = sum(len(s) for s in comp["strings"][1])
-    jpeg = sum(len(b) for b in comp.get("jpeg_buffers", []))
-    return {"y": y_anchor + y_non, "z": z, "jpeg": jpeg}
+    return {
+        "y": _nbytes(comp["strings"][0]),
+        "z": _nbytes(comp["strings"][1]),
+        "jpeg": _nbytes(comp.get("jpeg_buffers", [])),
+    }
 
 
 def process_image(codec, path: str, outdir: Path, save_components: bool):
@@ -144,10 +159,10 @@ def main(argv=None):
         for f in files:
             r = process_image(codec, f, outdir, args.save_components)
             rows.append(r)
-        print(f"{r['filename']}: bpp={r['total_bpp']:.4f} "
-              f"(jpeg {r['jpeg_bpp']:.4f} y {r['y_bpp']:.4f} z {r['z_bpp']:.4f}) "
-              f"psnr={r['psnr']:.2f} ms-ssim={r['ms_ssim']:.4f} "
-              f"enc={r['enc_time']:.3f}s dec={r['dec_time']:.3f}s", flush=True)
+            print(f"{r['filename']}: bpp={r['total_bpp']:.4f} "
+                  f"(jpeg {r['jpeg_bpp']:.4f} y {r['y_bpp']:.4f} z {r['z_bpp']:.4f}) "
+                  f"psnr={r['psnr']:.2f} ms-ssim={r['ms_ssim']:.4f} "
+                  f"enc={r['enc_time']:.3f}s dec={r['dec_time']:.3f}s", flush=True)
 
     keys = list(rows[0])
     avg = {k: float(np.mean([r[k] for r in rows])) for k in keys if k != "filename"}

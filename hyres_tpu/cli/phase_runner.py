@@ -23,6 +23,10 @@ def parse_args(argv=None):
     p.add_argument("--first-phase-epochs", type=int, default=None,
                    help="epochs for the fresh first phase (default: 2x per-phase)")
     p.add_argument("--savepath", type=str, default="./phases")
+    p.add_argument("--init-checkpoint", type=str, default=None,
+                   help="chain the FIRST phase from this checkpoint instead "
+                        "of training it fresh (e.g. continue a λ schedule "
+                        "from a separately-trained phase)")
     p.add_argument("--passthrough", nargs=argparse.REMAINDER, default=[],
                    help="extra flags forwarded to every training invocation")
     return p.parse_args(argv)
@@ -42,12 +46,14 @@ def main(argv=None):
     from .training import main as train_main
 
     root = Path(args.savepath)
-    prev_best: Path | None = None
+    prev_best: Path | None = (
+        Path(args.init_checkpoint) if args.init_checkpoint else None)
     for phase, lmbda in enumerate(args.lambdas):
         phase_dir = root / f"phase{phase}_{lmbda}"
         phase_dir.mkdir(parents=True, exist_ok=True)
+        fresh = phase == 0 and args.init_checkpoint is None
         epochs = (args.first_phase_epochs or 2 * args.epochs_per_phase) \
-            if phase == 0 else args.epochs_per_phase
+            if fresh else args.epochs_per_phase
         cmd = ["-d", args.dataset, "--lambda", str(lmbda),
                "-e", str(epochs), "--savepath", str(phase_dir),
                *args.passthrough]

@@ -1,0 +1,113 @@
+"""Inference-CLI roundtrips for every model family.
+
+Verifies the bpp accounting in ``cli/inference.py``: ``total_bpp`` must
+equal the sum of the ACTUAL byte lengths of every buffer in the
+compressed representation, for each of the four families' distinct
+``strings`` layouts (checkerboard/hyres nested pair, ELIC per-slice
+lists, cheng2020 single buffered stream). Reference accounting:
+/root/reference/src/inference.py:103-120.
+"""
+
+import csv
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _flat_nbytes(obj):
+    """Independent (non-recursive-helper-under-test) byte counter."""
+    total = 0
+    stack = [obj]
+    while stack:
+        o = stack.pop()
+        if isinstance(o, (bytes, bytearray)):
+            total += len(o)
+        else:
+            stack.extend(o)
+    return total
+
+
+def _tiny(model_name):
+    from hyres_tpu.models.hyres import HyresCodec, ResidualJPEGCompression
+    from hyres_tpu.models import (
+        CheckerboardCodec, Cheng2020Codec, Cheng2020withCheckerboard,
+        ElicCodec, LightWeightCheckerboard, LightWeightELIC,
+    )
+
+    if model_name == "hyres":
+        model = ResidualJPEGCompression(N=16, M=24, jpeg_quality=10)
+        wrap = HyresCodec
+    elif model_name == "checkerboard":
+        model = LightWeightCheckerboard(N=16, M=24)
+        wrap = CheckerboardCodec
+    elif model_name == "elic":
+        model = LightWeightELIC(N=16, M=24, groups=(4, 4, 8, 8))
+        wrap = ElicCodec
+    else:
+        model = Cheng2020withCheckerboard(N=24)
+        wrap = Cheng2020Codec
+    x0 = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.key(0), x0, noisequant=True,
+                        rng=jax.random.key(1))
+    codec = wrap(model, params)
+    codec.update(force=True)
+    return codec
+
+
+@pytest.mark.parametrize("model_name",
+                         ["hyres", "checkerboard", "elic", "cheng2020"])
+def test_process_image_bpp_matches_real_bytes(model_name, tmp_path, kodim01):
+    from hyres_tpu.cli.inference import process_image, strings_nbytes
+    from hyres_tpu.train import save_image
+
+    img_path = tmp_path / "img.png"
+    save_image(kodim01[:64, :64], img_path)
+
+    codec = _tiny(model_name)
+    r = process_image(codec, str(img_path), tmp_path, False)
+
+    # independently recount every buffer in a fresh compress
+    comp = codec.compress(jnp.asarray(kodim01[None, :64, :64]))
+    want_bytes = (_flat_nbytes(comp["strings"])
+                  + _flat_nbytes(comp.get("jpeg_buffers", [])))
+    nb = strings_nbytes(comp)
+    assert nb["y"] + nb["z"] + nb["jpeg"] == want_bytes
+    got_bytes = round(r["total_bpp"] * 64 * 64 / 8)
+    assert got_bytes == want_bytes
+    assert r["psnr"] > 5 and r["dec_time"] > 0
+
+
+def test_inference_main_end_to_end(tmp_path, kodim01):
+    """Full main(): checkpoint load, directory mode, per-image print, CSV."""
+    from hyres_tpu.cli import inference
+    from hyres_tpu.models import LightWeightCheckerboard
+    from hyres_tpu.train import save_image
+    from hyres_tpu.train.checkpoint import save_checkpoint
+
+    model = LightWeightCheckerboard(N=16, M=24)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                        noisequant=True, rng=jax.random.key(1))
+    ckpt = tmp_path / "ck.msgpack"
+    save_checkpoint(params, str(ckpt))
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    save_image(kodim01[:64, :64], indir / "a.png")
+    save_image(kodim01[64:128, :64], indir / "b.png")
+    outdir = tmp_path / "out"
+
+    inference.main(["--checkpoint", str(ckpt), "--input", str(indir),
+                    "--output", str(outdir), "--model", "checkerboard",
+                    "--N", "16", "--M", "24"])
+
+    with open(outdir / "metrics.csv") as f:
+        rows = list(csv.DictReader(f))
+    names = [r["filename"] for r in rows]
+    assert names == ["a.png", "b.png", "average"]
+    assert (outdir / "a_recon.png").exists() and (outdir / "b_recon.png").exists()
+    avg = rows[-1]
+    assert abs(float(avg["total_bpp"]) -
+               np.mean([float(r["total_bpp"]) for r in rows[:2]])) < 1e-9
