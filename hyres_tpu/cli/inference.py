@@ -29,6 +29,11 @@ def parse_args(argv=None):
     p.add_argument("--model", type=str, default="hyres",
                    choices=["hyres", "checkerboard", "elic", "cheng2020"])
     p.add_argument("--save-components", action="store_true")
+    p.add_argument("--coder", type=str, default="host",
+                   choices=["host", "tpu"],
+                   help="entropy coder: 'host' (C++ rANS, rate-optimal "
+                        "framing) or 'tpu' (on-device lane-parallel rANS, "
+                        "single-sync latency at ~4 B/lane stream overhead)")
     p.add_argument("--cuda", action="store_true", help="ignored (auto device)")
     p.add_argument("--profile", type=str, default=None,
                    help="write a jax.profiler trace of the roundtrips here")
@@ -39,13 +44,14 @@ def build_codec(args, params):
     from ..models.hyres import HyresCodec, ResidualJPEGCompression
     from ..models import CheckerboardCodec, LightWeightCheckerboard
 
+    coder = getattr(args, "coder", "host")
     if args.model == "hyres":
         model = ResidualJPEGCompression(N=args.N, M=args.M,
                                         jpeg_quality=args.jpeg_quality)
-        return model, HyresCodec(model, params)
+        return model, HyresCodec(model, params, coder=coder)
     if args.model == "checkerboard":
         model = LightWeightCheckerboard(N=args.N, M=args.M)
-        return model, CheckerboardCodec(model, params)
+        return model, CheckerboardCodec(model, params, coder=coder)
     if args.model == "elic":
         from ..models import ElicCodec, LightWeightELIC
         model = LightWeightELIC(N=args.N if args.N != 128 else 192,
@@ -133,10 +139,18 @@ def main(argv=None):
     from ..train import load_checkpoint
     from ..train.checkpoint import extract_variables
 
-    params = extract_variables(load_checkpoint(args.checkpoint))
+    raw = load_checkpoint(args.checkpoint)
+    params = extract_variables(raw)
 
     model, codec = build_codec(args, params)
-    codec.update(force=True)
+    if isinstance(raw, dict) and "tables" in raw:
+        # updata artifact: consume the pre-baked CDF tables instead of
+        # re-deriving them (reference flow: src/updata.py bakes once,
+        # src/inference.py consumes the baked buffers)
+        codec.install_tables(raw["tables"])
+        print("using pre-baked CDF tables from the updata artifact")
+    else:
+        codec.update(force=True)
 
     outdir = Path(args.output)
     outdir.mkdir(parents=True, exist_ok=True)

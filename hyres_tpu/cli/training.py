@@ -42,8 +42,13 @@ def parse_args(argv=None):
     p.add_argument("-lr", "--learning-rate", type=float, default=1e-4)
     p.add_argument("--aux-learning-rate", type=float, default=1e-3)
     p.add_argument("--lambda", dest="lmbda", type=float, default=0.015)
-    p.add_argument("--alpha", type=float, default=0.001,
-                   help="VGG perceptual weight (production uses 0)")
+    p.add_argument("--alpha", type=float, default=0.0,
+                   help="VGG perceptual weight; the production recipe uses 0 "
+                        "(reference train.sh:9). alpha>0 requires pretrained "
+                        "VGG16 weights (HYRES_VGG16_WEIGHTS) unless "
+                        "--allow-random-vgg is passed.")
+    p.add_argument("--allow-random-vgg", action="store_true",
+                   help="permit alpha>0 with random (untrained) VGG features")
     p.add_argument("-n", "--num-workers", type=int, default=8)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--test-batch-size", type=int, default=8)
@@ -54,7 +59,10 @@ def parse_args(argv=None):
                    help="phase-continuation: reset epoch/lr, plateau scheduler")
     p.add_argument("--gradient-accumulation-steps", type=int, default=1)
     p.add_argument("--mixed-precision", action="store_true",
-                   help="accepted for parity; TPU matmuls already use bf16 passes")
+                   help="bf16 activations through g_a/g_s/h_a/h_s (+refine) "
+                        "with f32 master params and f32 entropy tails "
+                        "(TPU-native equivalent of the reference AMP path, "
+                        "src/utils/engine.py:22-82)")
     p.add_argument("--cuda", action="store_true", help="ignored (auto device)")
     p.add_argument("--mps", action="store_true", help="ignored (auto device)")
     p.add_argument("--gpu-id", type=str, default="0", help="ignored (auto device)")
@@ -98,19 +106,23 @@ def main(argv=None):
     train_loader = DataLoader(train_set, args.batch_size, seed=args.seed,
                               num_workers=args.num_workers)
 
+    cd = jnp.bfloat16 if args.mixed_precision else None
     if args.model == "hyres":
         model = ResidualJPEGCompression(N=args.N, M=args.M,
-                                        jpeg_quality=args.jpeg_quality)
+                                        jpeg_quality=args.jpeg_quality,
+                                        compute_dtype=cd)
     elif args.model == "checkerboard":
         from ..models import LightWeightCheckerboard
-        model = LightWeightCheckerboard(N=args.N, M=args.M)
+        model = LightWeightCheckerboard(N=args.N, M=args.M, compute_dtype=cd)
     elif args.model == "elic":
         from ..models import LightWeightELIC
         model = LightWeightELIC(N=args.N if args.N != 128 else 192,
-                                M=args.M if args.M != 192 else 320)
+                                M=args.M if args.M != 192 else 320,
+                                compute_dtype=cd)
     else:
         from ..models import Cheng2020withCheckerboard
-        model = Cheng2020withCheckerboard(N=args.N if args.N != 128 else 192)
+        model = Cheng2020withCheckerboard(N=args.N if args.N != 128 else 192,
+                                          compute_dtype=cd)
     rng = jax.random.key(args.seed)
     init_shape = (1, args.patch_size[0], args.patch_size[1], 3)
     params = model.init(jax.random.key(0), jnp.zeros(init_shape),
@@ -140,8 +152,17 @@ def main(argv=None):
 
     vgg_fn = VGGLoss() if args.alpha else None
     if vgg_fn is not None and not vgg_fn.pretrained:
+        if not args.allow_random_vgg:
+            raise SystemExit(
+                "alpha>0 but no pretrained VGG16 weights are available "
+                "(HYRES_VGG16_WEIGHTS unset or missing). Training a "
+                "'perceptual' loss against random features is almost "
+                "certainly not what you want — set HYRES_VGG16_WEIGHTS to "
+                "a torch-layout .npz, use --alpha 0 (the production "
+                "recipe, reference train.sh:9), or pass --allow-random-vgg "
+                "to override.")
         print("WARNING: no VGG16 weights (HYRES_VGG16_WEIGHTS unset); "
-              "perceptual term uses random features")
+              "perceptual term uses random features (--allow-random-vgg)")
     step_fn = make_train_step(model, main_tx, aux_tx, lmbda=args.lmbda,
                               alpha=args.alpha, vgg_fn=vgg_fn,
                               accum_steps=args.gradient_accumulation_steps,

@@ -26,14 +26,32 @@ from ..entropy import (
 class CodecBase:
     """Holds model + params + baked tables; subclasses add the jit stages."""
 
-    def __init__(self, model, params, clamp: Tuple[float, float] | None = (0.0, 1.0)):
+    def __init__(self, model, params, clamp: Tuple[float, float] | None = (0.0, 1.0),
+                 coder: str = "host"):
+        """coder: "host" = C++ rANS with per-chunk framing (rate-optimal,
+        ~5 B overhead/plane, but forces host syncs between decode stages);
+        "tpu" = on-device lane-parallel rANS (coding/tpu_rans.py) — the
+        whole decode chain runs as one async chain of device programs at
+        ~4 B/lane extra stream bytes. Families that haven't wired the TPU
+        choreography yet silently use the host path."""
+        if coder not in ("host", "tpu"):
+            raise ValueError(f"unknown coder {coder!r}")
         self.model = model
         self.params = params
         self.clamp = clamp
+        self.coder = coder
         self.scale_table = get_scale_table()
         self.gauss_tables: CdfTables | None = None
         self.eb_tables: CdfTables | None = None
+        self.tpu_coder = None
         self._build_jits()
+
+    def _after_tables(self):
+        """(Re)build the device-side coder when tables change."""
+        if self.coder == "tpu":
+            from .codec import TpuPlaneCoder
+
+            self.tpu_coder = TpuPlaneCoder(self.gauss_tables, self.eb_tables)
 
     # subclasses define their compiled stages here
     def _build_jits(self):
@@ -62,7 +80,24 @@ class CodecBase:
             return False
         self.gauss_tables = build_gaussian_tables(self.scale_table)
         self.eb_tables = build_bottleneck_tables(self._eb_param_dict())
+        self._after_tables()
         return True
+
+    def install_tables(self, tables: dict) -> None:
+        """Install pre-baked CDF tables from an ``updata`` artifact
+        (cli/updata.py stores them next to the params, the TPU-native
+        analog of the reference's registered CDF buffers inside the state
+        dict — /root/reference/src/updata.py:36-78). Lets inference skip
+        the bake entirely."""
+        def mk(d):
+            return CdfTables(
+                quantized_cdf=np.asarray(d["quantized_cdf"], np.int32),
+                cdf_length=np.asarray(d["cdf_length"], np.int32),
+                offset=np.asarray(d["offset"], np.int32))
+
+        self.gauss_tables = mk(tables["gaussian"])
+        self.eb_tables = mk(tables["bottleneck"])
+        self._after_tables()
 
     def _require_tables(self):
         if self.gauss_tables is None or self.eb_tables is None:

@@ -27,7 +27,7 @@ Differences from the reference, by design (TPU-first + SURVEY Q7 fix):
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax
@@ -140,6 +140,16 @@ class LightWeightCheckerboard(nn.Module):
 
     N: int = 128
     M: int = 192
+    # Mixed-precision policy (reference AMP path,
+    # /root/reference/src/utils/engine.py:22-82, redesigned TPU-first):
+    # bf16 activations through the transform stacks (g_a/g_s/h_a/h_s) with
+    # f32 master params and f32 entropy tails — the context/aggregation
+    # path and both entropy models always run f32 so scale-table indexes
+    # and likelihoods keep full precision. None = pure f32.
+    compute_dtype: Any = None
+
+    def _cd(self, x):
+        return x if self.compute_dtype is None else x.astype(self.compute_dtype)
 
     def setup(self):
         self.g_a = AnalysisTransform(self.N, self.M)
@@ -153,14 +163,15 @@ class LightWeightCheckerboard(nn.Module):
     # ---- jit-able pieces, each also used by the coder choreography ----
 
     def analysis(self, x) -> Tuple[jax.Array, jax.Array]:
-        y = self.g_a(x)
-        return y, self.h_a(y)
+        y = self.g_a(self._cd(x))
+        z = self.h_a(y)
+        return y.astype(jnp.float32), z.astype(jnp.float32)
 
     def synthesis(self, y_hat) -> jax.Array:
-        return self.g_s(y_hat)
+        return self.g_s(self._cd(y_hat)).astype(jnp.float32)
 
     def hyper_synthesis(self, z_hat) -> jax.Array:
-        return self.h_s(z_hat)
+        return self.h_s(self._cd(z_hat)).astype(jnp.float32)
 
     def anchor_params(self, latent_params) -> Tuple[jax.Array, jax.Array]:
         p = self.param_aggregation(
@@ -194,7 +205,7 @@ class LightWeightCheckerboard(nn.Module):
             med = self.eb_medians()
             z_hat = quantize_ste(z - med) + med
 
-        latent_params = self.h_s(z_hat)
+        latent_params = self.hyper_synthesis(z_hat)
 
         scales_a, means_a = self.anchor_params(latent_params)
         if noisequant:
@@ -212,7 +223,7 @@ class LightWeightCheckerboard(nn.Module):
         y_nonanchor_hat = checkerboard.split(y_nonanchor_hat, NON_ANCHOR)
 
         y_hat = y_anchor_hat + y_nonanchor_hat
-        x_hat = self.g_s(y_hat)
+        x_hat = self.synthesis(y_hat)
 
         mask_a = checkerboard.parity_mask(H, W, ANCHOR, y.dtype)
         scales = mask_a * scales_a + (1.0 - mask_a) * scales_n

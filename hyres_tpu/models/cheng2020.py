@@ -21,7 +21,7 @@ cudnn flags (cheng2020.py:108,148).
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax
@@ -133,6 +133,12 @@ class _EntropyParams(nn.Module):
 
 class Cheng2020withCheckerboard(nn.Module):
     N: int = 192
+    # bf16 activation policy for the transform stacks (see
+    # LightWeightCheckerboard.compute_dtype).
+    compute_dtype: Any = None
+
+    def _cd(self, x):
+        return x if self.compute_dtype is None else x.astype(self.compute_dtype)
 
     def setup(self):
         self.g_a = _GA(self.N)
@@ -146,14 +152,15 @@ class Cheng2020withCheckerboard(nn.Module):
     # ---- pieces ------------------------------------------------------------
 
     def analysis(self, x):
-        y = self.g_a(x)
-        return y, self.h_a(y)
+        y = self.g_a(self._cd(x))
+        z = self.h_a(y)
+        return y.astype(jnp.float32), z.astype(jnp.float32)
 
     def synthesis(self, y_hat):
-        return self.g_s(y_hat)
+        return self.g_s(self._cd(y_hat)).astype(jnp.float32)
 
     def hyper_synthesis(self, z_hat):
-        return self.h_s(z_hat)
+        return self.h_s(self._cd(z_hat)).astype(jnp.float32)
 
     def entropy_params(self, ctx, hyper):
         p = self.entropy_parameters(jnp.concatenate([ctx, hyper], axis=-1))
@@ -184,14 +191,14 @@ class Cheng2020withCheckerboard(nn.Module):
         z_hat, z_lik = self.entropy_bottleneck(z, noise=True, rng=rng_z)
         y_hat = quantize(y, "noise", rng=rng_y)
 
-        hyper = self.h_s(z_hat)
+        hyper = self.hyper_synthesis(z_hat)
         ctx = self.context_prediction(y_hat)
         # zero ctx at the (odd) cheng-anchor positions (cheng2020.py:48-50)
         H, W = y.shape[1], y.shape[2]
         ctx = ctx * checkerboard.parity_mask(H, W, CHENG_NONANCHOR, ctx.dtype)
         scales, means = self.entropy_params(ctx, hyper)
         y_lik = gaussian_likelihood(y, scales, means)
-        x_hat = self.g_s(y_hat)
+        x_hat = self.synthesis(y_hat)
         return {"x_hat": x_hat, "likelihoods": {"y": y_lik, "z": z_lik}}
 
     def _validate(self, x):
@@ -201,7 +208,7 @@ class Cheng2020withCheckerboard(nn.Module):
         med = self.eb_medians()
         z_hat = quantize_ste(z - med) + med
 
-        hyper = self.h_s(z_hat)
+        hyper = self.hyper_synthesis(z_hat)
         H, W = y.shape[1], y.shape[2]
         zeros_ctx = jnp.zeros(y.shape[:-1] + (2 * y.shape[-1],), y.dtype)
         scales_a, means_a = self.entropy_params(zeros_ctx, hyper)
@@ -219,5 +226,5 @@ class Cheng2020withCheckerboard(nn.Module):
         means = mask_anchor * means_a + (1.0 - mask_anchor) * means
         y_hat = quantize(y - means, "ste") + means
         y_lik = gaussian_likelihood(y, scales, means)
-        x_hat = self.g_s(y_hat)
+        x_hat = self.synthesis(y_hat)
         return {"x_hat": x_hat, "likelihoods": {"y": y_lik, "z": z_lik}}

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..coding import BufferedRansEncoder, RansDecoder
+from ..coding import tpu_rans
 from ..coding.rans import RansLut
 from ..entropy import (
     CdfTables,
@@ -155,6 +156,109 @@ def _decode_planes(strings: Sequence[bytes], indexes: np.ndarray, t: CdfTables) 
         lambda i: _decode_one(strings[i], indexes[i], t), range(len(strings)))))
 
 
+class TpuPlaneCoder:
+    """Device-side rANS coder bound to one baked table set.
+
+    Owns the HBM slot-LUTs and the jitted (vmapped-over-batch) encode /
+    decode scan programs. All three planes of an image (z, y-anchor,
+    y-non-anchor) encode in ONE device program; each decode scan is its
+    own program so the surrounding entropy-parameter stages stay the
+    exact shared programs the encoder used (the bit-exactness invariant,
+    see CheckerboardCodec._build_jits).
+
+    y_lanes/z_lanes trade the per-lane state flush (4 B/lane of real
+    stream bytes) against scan depth; see coding/tpu_rans.py.
+    """
+
+    def __init__(self, gauss_tables, eb_tables, y_lanes: int = 128,
+                 z_lanes: int = 64):
+        self.gauss_dev = tpu_rans.build_device_tables(gauss_tables)
+        self.eb_dev = tpu_rans.build_device_tables(eb_tables)
+        self.y_lanes, self.z_lanes = y_lanes, z_lanes
+
+        gauss_dev, eb_dev = self.gauss_dev, self.eb_dev
+
+        @jax.jit
+        def encode_all(z_sym, a_sym, a_idx, n_sym, n_idx):
+            B = z_sym.shape[0]
+            C = z_sym.shape[-1]
+            z_flat = z_sym.astype(jnp.int32).reshape(B, -1)
+            z_idx = jnp.broadcast_to(
+                jnp.arange(C, dtype=jnp.int32), z_sym.shape).reshape(B, -1)
+            enc_z = jax.vmap(
+                lambda s, i: tpu_rans.rans_encode(s, i, eb_dev, z_lanes)
+            )(z_flat, z_idx)
+            enc_a = jax.vmap(
+                lambda s, i: tpu_rans.rans_encode(s, i, gauss_dev, y_lanes)
+            )(a_sym.astype(jnp.int32).reshape(B, -1),
+              a_idx.astype(jnp.int32).reshape(B, -1))
+            enc_n = jax.vmap(
+                lambda s, i: tpu_rans.rans_encode(s, i, gauss_dev, y_lanes)
+            )(n_sym.astype(jnp.int32).reshape(B, -1),
+              n_idx.astype(jnp.int32).reshape(B, -1))
+            return enc_z, enc_a, enc_n
+
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def decode_gauss(stream, states, idx, esc_pos, esc_val, lanes: int):
+            B = idx.shape[0]
+            n = int(np.prod(idx.shape[1:]))
+            sym = jax.vmap(
+                lambda st, sa, ix, ep, ev: tpu_rans.rans_decode(
+                    st, sa, ix, ep, ev, gauss_dev, lanes, n)
+            )(stream, states, idx.astype(jnp.int32).reshape(B, -1),
+              esc_pos, esc_val)
+            sym = jnp.clip(sym, -32000, 32000).astype(jnp.int16)
+            return sym.reshape(idx.shape)
+
+        @functools.partial(jax.jit, static_argnums=(4, 5))
+        def decode_eb(stream, states, esc_pos, esc_val,
+                      shape: Tuple[int, ...], lanes: int):
+            B = shape[0]
+            C = shape[-1]
+            n = int(np.prod(shape[1:]))
+            idx = jnp.broadcast_to(
+                jnp.arange(C, dtype=jnp.int32), shape).reshape(B, -1)
+            sym = jax.vmap(
+                lambda st, sa, ix, ep, ev: tpu_rans.rans_decode(
+                    st, sa, ix, ep, ev, eb_dev, lanes, n)
+            )(stream, states, idx, esc_pos, esc_val)
+            sym = jnp.clip(sym, -32000, 32000).astype(jnp.int16)
+            return sym.reshape(shape)
+
+        self.encode_all = encode_all
+        self.decode_gauss = decode_gauss
+        self.decode_eb = decode_eb
+
+    # -- host-side (un)framing ---------------------------------------------
+
+    @staticmethod
+    def frames_from_enc(enc) -> List[bytes]:
+        """Per-image byte frames from a downloaded vmapped-encode output.
+        Raises OverflowError if any image's escape side list overflowed
+        (the caller re-frames the whole batch with the host coder)."""
+        B = enc["states"].shape[0]
+        return [tpu_rans.frame_plane(
+            enc["states"][i], enc["stream"][i], int(enc["n_renorm"][i]),
+            enc["esc_pos"][i], enc["esc_val"][i], int(enc["n_esc"][i]))
+            for i in range(B)]
+
+    @staticmethod
+    def unframe_batch(strings: Sequence[bytes], n: int):
+        """Per-image frames -> stacked device-ready arrays (or None if any
+        frame is host-coder format, which forces the host decode path)."""
+        if not all(tpu_rans.is_tpu_frame(s) for s in strings):
+            return None
+        parts = [tpu_rans.unframe_plane(s, n) for s in strings]
+        lanes = parts[0][0]
+        if any(p[0] != lanes for p in parts):
+            return None
+        return (lanes,
+                np.stack([p[1] for p in parts]),
+                np.stack([p[2] for p in parts]),
+                np.stack([p[3] for p in parts]),
+                np.stack([p[4] for p in parts]))
+
+
 class CheckerboardCodec(CodecBase):
     """Stateful wrapper: model def + params + baked CDF tables.
 
@@ -245,6 +349,8 @@ class CheckerboardCodec(CodecBase):
         return self._compress_from_latents(y, z_sym, size, start)
 
     def _compress_from_latents(self, y, z_sym, size, start) -> Dict:
+        if self.tpu_coder is not None:
+            return self._compress_from_latents_tpu(y, z_sym, size, start)
         # dispatch is async: the host rANS work for each plane overlaps the
         # device compute of the next stage
         lp, a_idx, ma_p, a_sym = self._dec_stage1(z_sym, y)
@@ -254,6 +360,39 @@ class CheckerboardCodec(CodecBase):
                                         self.gauss_tables)  # overlaps stage2
         nonanchor_strings = _encode_planes(np.asarray(n_sym), np.asarray(n_idx),
                                            self.gauss_tables)
+        return {
+            "strings": [[anchor_strings, nonanchor_strings], z_strings],
+            "shape": (int(z_sym.shape[1]), int(z_sym.shape[2])),
+            "size": size,
+            "time": time.time() - start,
+        }
+
+    def _compress_from_latents_tpu(self, y, z_sym, size, start) -> Dict:
+        """Single-sync encode: the stage programs and all three rANS
+        encode scans are enqueued back-to-back (device-to-device), then
+        ONE host transfer pulls the compacted streams.
+
+        If ANY plane's escape side list overflows (pathological stats,
+        e.g. untrained models), the WHOLE batch re-frames with the host
+        coder — formats are never mixed within a compressed payload (the
+        decode path picks one choreography for the batch)."""
+        tc = self.tpu_coder
+        lp, a_idx, ma_p, a_sym = self._dec_stage1(z_sym, y)
+        _, n_idx, mn_p, n_sym = self._dec_stage2(lp, a_sym, ma_p, y)
+        enc_z, enc_a, enc_n = tc.encode_all(z_sym, a_sym, a_idx, n_sym, n_idx)
+        # the single device->host sync
+        enc_z, enc_a, enc_n = jax.device_get((enc_z, enc_a, enc_n))
+
+        try:
+            z_strings = tc.frames_from_enc(enc_z)
+            anchor_strings = tc.frames_from_enc(enc_a)
+            nonanchor_strings = tc.frames_from_enc(enc_n)
+        except OverflowError:
+            z_strings = self._eb_encode(np.asarray(z_sym))
+            anchor_strings = _encode_planes(
+                np.asarray(a_sym), np.asarray(a_idx), self.gauss_tables)
+            nonanchor_strings = _encode_planes(
+                np.asarray(n_sym), np.asarray(n_idx), self.gauss_tables)
         return {
             "strings": [[anchor_strings, nonanchor_strings], z_strings],
             "shape": (int(z_sym.shape[1]), int(z_sym.shape[2])),
@@ -274,6 +413,10 @@ class CheckerboardCodec(CodecBase):
 
     def _decode_latent_stages(self, strings, shape):
         """Shared decode choreography up to (y_anchor_hat, n_sym, mn_p)."""
+        tpu = (self._decode_latent_stages_tpu(strings, shape)
+               if self.tpu_coder is not None else None)
+        if tpu is not None:
+            return tpu
         B = len(strings[1])
         z_sym = narrow_symbols_i16(self._eb_decode(strings[1], shape))
         y_zero = jnp.zeros((B, shape[0] * 4, shape[1] * 4, self.model.M),
@@ -286,3 +429,31 @@ class CheckerboardCodec(CodecBase):
         n_sym = narrow_symbols_i16(_decode_planes(
             strings[0][1], np.asarray(n_idx), self.gauss_tables))
         return y_anchor_hat, jnp.asarray(n_sym), mn_p
+
+    def _decode_latent_stages_tpu(self, strings, shape):
+        """All-device decode chain: rANS scans between the SAME stage
+        programs the encoder used; no host sync until the caller pulls
+        x_hat. Returns None if any plane is host-coder framed."""
+        tc = self.tpu_coder
+        B = len(strings[1])
+        C = self.eb_tables.cdf_length.shape[0]
+        zshape = (B, shape[0], shape[1], C)
+        n_z = int(np.prod(zshape[1:]))
+        n_y = shape[0] * 4 * shape[1] * 2 * self.model.M  # packed half-width
+        uz = TpuPlaneCoder.unframe_batch(strings[1], n_z)
+        ua = TpuPlaneCoder.unframe_batch(strings[0][0], n_y)
+        un = TpuPlaneCoder.unframe_batch(strings[0][1], n_y)
+        if uz is None or ua is None or un is None:
+            return None
+        z_sym = tc.decode_eb(jnp.asarray(uz[2]), jnp.asarray(uz[1]),
+                             jnp.asarray(uz[3]), jnp.asarray(uz[4]),
+                             zshape, uz[0])
+        y_zero = jnp.zeros((B, shape[0] * 4, shape[1] * 4, self.model.M),
+                           jnp.float32)
+        lp, a_idx, ma_p, _ = self._dec_stage1(z_sym, y_zero)
+        a_sym = tc.decode_gauss(jnp.asarray(ua[2]), jnp.asarray(ua[1]), a_idx,
+                                jnp.asarray(ua[3]), jnp.asarray(ua[4]), ua[0])
+        y_anchor_hat, n_idx, mn_p, _ = self._dec_stage2(lp, a_sym, ma_p, y_zero)
+        n_sym = tc.decode_gauss(jnp.asarray(un[2]), jnp.asarray(un[1]), n_idx,
+                                jnp.asarray(un[3]), jnp.asarray(un[4]), un[0])
+        return y_anchor_hat, n_sym, mn_p

@@ -21,7 +21,7 @@ implements with scatter assignments is nn/checkerboard.pack here.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Any, Dict, List, Tuple
 
 import flax.linen as nn
 import jax
@@ -73,6 +73,13 @@ class LightWeightELIC(nn.Module):
     N: int = 192
     M: int = 320
     groups: Tuple[int, ...] = GROUPS
+    # bf16 activation policy for the transform stacks (see
+    # LightWeightCheckerboard.compute_dtype); slice context/aggregation and
+    # entropy models stay f32.
+    compute_dtype: Any = None
+
+    def _cd(self, x):
+        return x if self.compute_dtype is None else x.astype(self.compute_dtype)
 
     def setup(self):
         assert sum(self.groups) == self.M
@@ -99,14 +106,15 @@ class LightWeightELIC(nn.Module):
     # ---- jit-able pieces (also reused by the coder) ----------------------
 
     def analysis(self, x):
-        y = self.g_a(x)
-        return y, self.h_a(y)
+        y = self.g_a(self._cd(x))
+        z = self.h_a(y)
+        return y.astype(jnp.float32), z.astype(jnp.float32)
 
     def synthesis(self, y_hat):
-        return self.g_s(y_hat)
+        return self.g_s(self._cd(y_hat)).astype(jnp.float32)
 
     def hyper_synthesis(self, z_hat):
-        lp = self.h_s(z_hat)
+        lp = self.h_s(self._cd(z_hat)).astype(jnp.float32)
         means, scales = jnp.split(lp, 2, axis=-1)
         return means, scales
 
@@ -217,7 +225,7 @@ class LightWeightELIC(nn.Module):
             liks.append(lik)
 
         y_hat_full = jnp.concatenate(y_hat_gs, axis=-1)
-        x_hat = self.g_s(y_hat_full)
+        x_hat = self.synthesis(y_hat_full)
         return {
             "x_hat": x_hat,
             "likelihoods": {"y": jnp.concatenate(liks, axis=-1), "z": z_lik},

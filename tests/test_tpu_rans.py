@@ -1,0 +1,122 @@
+"""TPU-side lane-parallel rANS: roundtrip, rate, escapes, framing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyres_tpu.coding import tpu_rans
+from hyres_tpu.entropy import build_gaussian_tables, get_scale_table
+from hyres_tpu.entropy.bottleneck import CdfTables
+
+
+@pytest.fixture(scope="module")
+def gauss_tables():
+    host = build_gaussian_tables(get_scale_table())
+    return host, tpu_rans.build_device_tables(host)
+
+
+def _roundtrip(sym, idx, dev, lanes):
+    enc = jax.jit(tpu_rans.rans_encode, static_argnums=(3,))(
+        jnp.asarray(sym), jnp.asarray(idx), dev, lanes)
+    data = tpu_rans.frame_plane(
+        np.asarray(enc["states"]), np.asarray(enc["stream"]),
+        int(enc["n_renorm"]), np.asarray(enc["esc_pos"]),
+        np.asarray(enc["esc_val"]), int(enc["n_esc"]))
+    lanes2, states, stream, esc_pos, esc_val = tpu_rans.unframe_plane(
+        data, sym.size)
+    assert lanes2 == lanes
+    got = jax.jit(tpu_rans.rans_decode, static_argnums=(6, 7))(
+        jnp.asarray(stream), jnp.asarray(states), jnp.asarray(idx),
+        jnp.asarray(esc_pos), jnp.asarray(esc_val), dev, lanes, sym.size)
+    return np.asarray(got), data
+
+
+def test_roundtrip_gaussian_symbols(gauss_tables):
+    host, dev = gauss_tables
+    rng = np.random.default_rng(0)
+    n = 10000
+    idx = rng.integers(0, 64, n).astype(np.int32)
+    sigma = np.asarray(get_scale_table())[idx]
+    sym = np.round(rng.normal(0, sigma)).astype(np.int32)
+    got, data = _roundtrip(sym, idx, dev, lanes=64)
+    np.testing.assert_array_equal(got, sym)
+
+    # rate sanity: close to the entropy of the quantized-CDF model
+    bits = sum(-np.log2(_freq(host, idx[i], sym[i]) / 65536.0)
+               for i in range(n))
+    overhead = 64 * 4 + 6  # states + header
+    assert len(data) <= bits / 8 * 1.02 + overhead + 16
+
+
+def _freq(host, row, value):
+    cdf = host.quantized_cdf[row]
+    L = host.cdf_length[row]
+    v = value - host.offset[row]
+    v = np.clip(v, 0, L - 2)  # escape bin for out-of-range
+    return max(int(cdf[v + 1] - cdf[v]), 1)
+
+
+def test_roundtrip_with_escapes(gauss_tables):
+    """Out-of-support symbols survive via the side list."""
+    _, dev = gauss_tables
+    rng = np.random.default_rng(1)
+    n = 4096
+    idx = np.zeros(n, np.int32)  # sigma=0.11: support is tiny
+    sym = np.round(rng.normal(0, 0.11, n)).astype(np.int32)
+    hot = rng.choice(n, 20, replace=False)
+    sym[hot] = rng.integers(-30000, 30000, 20)  # way out of support
+    got, _ = _roundtrip(sym, idx, dev, lanes=64)
+    np.testing.assert_array_equal(got, sym)
+
+
+def test_escape_overflow_raises(gauss_tables):
+    _, dev = gauss_tables
+    n = 1024
+    idx = np.zeros(n, np.int32)
+    sym = np.full(n, 20000, np.int32)  # every symbol escapes
+    enc = tpu_rans.rans_encode(jnp.asarray(sym), jnp.asarray(idx), dev, 64)
+    with pytest.raises(OverflowError):
+        tpu_rans.frame_plane(
+            np.asarray(enc["states"]), np.asarray(enc["stream"]),
+            int(enc["n_renorm"]), np.asarray(enc["esc_pos"]),
+            np.asarray(enc["esc_val"]), int(enc["n_esc"]))
+
+
+def test_roundtrip_eb_channel_tables():
+    """Per-channel factorized-prior tables work through the same kernel."""
+    rng = np.random.default_rng(2)
+    C, L = 8, 12
+    pmf = rng.random((C, L)).astype(np.float64)
+    pmf /= pmf.sum(1, keepdims=True)
+    from hyres_tpu.coding.cdf import pmf_to_quantized_cdf
+
+    # append the escape/tail bin like the real table bakers do
+    rows = [pmf_to_quantized_cdf(np.append(p * (1 - 1e-6), 1e-6), 16)
+            for p in pmf]
+    maxlen = max(len(r) for r in rows)
+    cdf = np.zeros((C, maxlen), np.int32)
+    for i, r in enumerate(rows):
+        cdf[i, : len(r)] = r
+    host = CdfTables(quantized_cdf=cdf,
+                     cdf_length=np.array([len(r) for r in rows], np.int32),
+                     offset=np.full(C, -(L // 2), np.int32))
+    dev = tpu_rans.build_device_tables(host)
+
+    n = 5000
+    idx = rng.integers(0, C, n).astype(np.int32)
+    sym = (rng.integers(0, L, n) - L // 2).astype(np.int32)
+    got, _ = _roundtrip(sym, idx, dev, lanes=32)
+    np.testing.assert_array_equal(got, sym)
+
+
+def test_various_lane_counts_and_sizes(gauss_tables):
+    _, dev = gauss_tables
+    rng = np.random.default_rng(3)
+    for lanes in (32, 256):
+        for n in (31, 257, 4096, 7777):
+            idx = rng.integers(0, 64, n).astype(np.int32)
+            sigma = np.asarray(get_scale_table())[idx]
+            sym = np.round(rng.normal(0, sigma)).astype(np.int32)
+            got, _ = _roundtrip(sym, idx, dev, lanes)
+            np.testing.assert_array_equal(got, sym)
