@@ -2,14 +2,20 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 value = mean encode+decode seconds per image (real entropy-coded
-roundtrip, block_until_ready). vs_baseline = reference_total / ours,
-i.e. the speedup over the reference's published HyRES total of 0.762 s
-(0.476 enc + 0.286 dec, /root/reference/README.md:120); >1 is faster.
+roundtrip with the TPU-side lane-parallel rANS coder, block_until_ready).
+vs_baseline = reference_total / ours, i.e. the speedup over the
+reference's published HyRES total of 0.762 s (0.476 enc + 0.286 dec,
+/root/reference/README.md:120); >1 is faster.
+
+Side info (stderr): bpp/PSNR of the timed configuration, per-image times,
+the host-coder latency for comparison, and a batched throughput mode
+(all same-orientation Kodak images as one batch -> s/image).
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 from pathlib import Path
 
@@ -25,11 +31,6 @@ def _load_params(model):
     """Prefer a trained checkpoint (checkpoints/checkpoint_best_* or
     artifacts/hyres_*.msgpack); random init otherwise (timing-only mode —
     random-init latents are high-entropy, so coder time is pessimistic)."""
-    import sys
-
-    import jax
-    import jax.numpy as jnp
-
     candidates = sorted(Path("artifacts").glob("hyres*.msgpack")) + \
         sorted(Path("checkpoints").glob("checkpoint_best_*.msgpack"))
     if candidates:
@@ -49,6 +50,20 @@ def _load_params(model):
                       noisequant=True, rng=jax.random.key(1))
 
 
+def _roundtrip_stats(codec, x):
+    t0 = time.time()
+    r = codec.inference(x)
+    jax.block_until_ready(r["x_hat"])
+    dt = time.time() - t0
+    comp = r["compressed"]
+    nbytes = sum(len(s) for part in comp["strings"][0] for s in part)
+    nbytes += sum(len(s) for s in comp["strings"][1])
+    nbytes += sum(len(b) for b in comp["jpeg_buffers"])
+    num_px = x.shape[1] * x.shape[2]
+    mse = float(jnp.mean((jnp.clip(r["x_hat"], 0, 1) - x) ** 2))
+    return dt, nbytes * 8 / num_px, -10 * np.log10(mse)
+
+
 def main():
     from PIL import Image
 
@@ -56,7 +71,7 @@ def main():
 
     model = ResidualJPEGCompression(N=128, M=192, jpeg_quality=1)
     params = _load_params(model)
-    codec = HyresCodec(model, params)
+    codec = HyresCodec(model, params, coder="tpu")
     codec.update(force=True)
 
     paths = KODAK[:6] if KODAK else []
@@ -71,26 +86,35 @@ def main():
         warm = next(im for im in imgs if im.shape == shape)
         jax.block_until_ready(codec.inference(warm)["x_hat"])
 
-    import sys
-
-    times = []
-    bpps = []
-    psnrs = []
-    for x in imgs:
-        t0 = time.time()
-        r = codec.inference(x)
-        jax.block_until_ready(r["x_hat"])
-        times.append(time.time() - t0)
-        comp = r["compressed"]
-        nbytes = sum(len(s) for part in comp["strings"][0] for s in part)
-        nbytes += sum(len(s) for s in comp["strings"][1])
-        nbytes += sum(len(b) for b in comp["jpeg_buffers"])
-        num_px = x.shape[1] * x.shape[2]
-        bpps.append(nbytes * 8 / num_px)
-        mse = float(jnp.mean((r["x_hat"] - x) ** 2))
-        psnrs.append(-10 * np.log10(mse))
-    print(f"bench side-info: bpp={np.mean(bpps):.4f} psnr={np.mean(psnrs):.2f} "
+    stats = [_roundtrip_stats(codec, x) for x in imgs]
+    times, bpps, psnrs = (list(t) for t in zip(*stats))
+    print(f"bench side-info: tpu-coder bpp={np.mean(bpps):.4f} "
+          f"psnr={np.mean(psnrs):.2f} "
           f"per-image times={['%.3f' % t for t in times]}", file=sys.stderr)
+
+    # host-coder comparison (rate-optimal framing, host syncs per stage)
+    host = HyresCodec(model, params, coder="host")
+    host.update(force=True)
+    for shape in {im.shape for im in imgs}:
+        warm = next(im for im in imgs if im.shape == shape)
+        jax.block_until_ready(host.inference(warm)["x_hat"])
+    hstats = [_roundtrip_stats(host, x) for x in imgs[:3]]
+    print(f"bench side-info: host-coder bpp={np.mean([s[1] for s in hstats]):.4f} "
+          f"time={np.mean([s[0] for s in hstats]):.3f}s", file=sys.stderr)
+
+    # batched throughput: all same-orientation Kodak images as one batch
+    wide = [p for p in KODAK if Image.open(p).size == (768, 512)]
+    if len(wide) >= 4:
+        batch = jnp.asarray(np.stack([
+            np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
+            for p in wide]))
+        jax.block_until_ready(codec.inference(batch)["x_hat"])  # warm
+        t0 = time.time()
+        rb = codec.inference(batch)
+        jax.block_until_ready(rb["x_hat"])
+        bt = time.time() - t0
+        print(f"bench side-info: batched throughput {len(wide)} images in "
+              f"{bt:.3f}s = {bt / len(wide):.4f} s/image", file=sys.stderr)
 
     value = float(np.mean(times))
     print(json.dumps({

@@ -56,10 +56,10 @@ def build_codec(args, params):
         from ..models import ElicCodec, LightWeightELIC
         model = LightWeightELIC(N=args.N if args.N != 128 else 192,
                                 M=args.M if args.M != 192 else 320)
-        return model, ElicCodec(model, params)
+        return model, ElicCodec(model, params, coder=coder)
     from ..models import Cheng2020Codec, Cheng2020withCheckerboard
     model = Cheng2020withCheckerboard(N=args.N if args.N != 128 else 192)
-    return model, Cheng2020Codec(model, params)
+    return model, Cheng2020Codec(model, params, coder=coder)
 
 
 def _nbytes(obj) -> int:

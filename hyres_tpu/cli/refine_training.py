@@ -84,8 +84,17 @@ def main(argv=None):
                                          jax.tree.leaves(mask)) if m)
     print(f"training {n_train/1e6:.3f}M refine params (codec frozen)")
 
-    tx = optax.masked(optax.inject_hyperparams(optax.adam)(
-        learning_rate=args.learning_rate), mask)
+    # multi_transform, NOT optax.masked: masked passes frozen leaves'
+    # gradients through as raw updates (i.e. the "frozen" codec would be
+    # updated by gradient ascent — see train/optimizers.py note)
+    labels = jax.tree.map(lambda b: "train" if b else "freeze", mask)
+    tx = optax.multi_transform(
+        {"train": optax.inject_hyperparams(
+            lambda learning_rate: optax.chain(
+                optax.clip_by_global_norm(1.0),
+                optax.adam(learning_rate)))(
+            learning_rate=args.learning_rate),
+         "freeze": optax.set_to_zero()}, labels)
     opt_state = tx.init(params)
 
     def loss_fn(p, batch):
@@ -95,8 +104,18 @@ def main(argv=None):
     @jax.jit
     def step(p, opt_state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(p, batch)
-        upd, opt_state = tx.update(grads, opt_state, p)
-        return optax.apply_updates(p, upd), opt_state, loss
+        upd, new_opt_state = tx.update(grads, opt_state, p)
+        new_p = optax.apply_updates(p, upd)
+        # NaN guard (same policy as the main engine, train/engine.py),
+        # applied to the UPDATED params: extreme gradients can overflow
+        # even the clip's norm computation, so checking grads alone is
+        # not sufficient — skip the whole update if anything went
+        # non-finite anywhere in the chain.
+        finite = jnp.stack([jnp.all(jnp.isfinite(l))
+                            for l in jax.tree.leaves(new_p)]).all()
+        sel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(finite, x, y), a, b)
+        return sel(new_p, p), sel(new_opt_state, opt_state), loss
 
     @jax.jit
     def eval_step(p, batch):
@@ -110,7 +129,7 @@ def main(argv=None):
     test_imgs = [test_set.load(i, np.random.default_rng(0))[None]
                  for i in range(len(test_set))]
 
-    mesh = data_parallel_mesh()
+    mesh = data_parallel_mesh(batch_size=args.batch_size)
     params = replicate(mesh, params)
     opt_state = replicate(mesh, opt_state)
 
@@ -139,7 +158,8 @@ def main(argv=None):
             plateau_bad += 1
             if plateau_bad > 5:
                 lr *= 0.3
-                opt_state.inner_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+                opt_state.inner_states["train"].inner_state.hyperparams[
+                    "learning_rate"] = jnp.asarray(lr)
                 plateau_bad = 0
 
         ckpt = {"epoch": epoch,

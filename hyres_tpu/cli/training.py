@@ -77,6 +77,11 @@ def parse_args(argv=None):
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in backward (activation "
                         "memory for ~30%% extra FLOPs; lifts max batch)")
+    p.add_argument("--min-lr", type=float, default=1e-6,
+                   help="floor for the plateau scheduler in --pretrained "
+                        "runs (with few steps per epoch the reference's "
+                        "unfloored ReduceLROnPlateau can decay the LR to "
+                        "numerical zero and dead-lock the phase)")
     p.add_argument("--save-every", type=int, default=1,
                    help="checkpoint every N epochs (device->host transfer "
                         "of the full state is expensive over the TPU tunnel)")
@@ -169,7 +174,7 @@ def main(argv=None):
                               remat=args.remat)
     eval_fn = make_eval_step(model, lmbda=args.lmbda, alpha=args.alpha, vgg_fn=vgg_fn)
 
-    mesh = data_parallel_mesh()
+    mesh = data_parallel_mesh(batch_size=args.batch_size)
     state = replicate(mesh, state)
 
     # eval batches: full test images padded to common shape is wasteful;
@@ -241,10 +246,11 @@ def main(argv=None):
             else:
                 plateau_bad += 1
                 if plateau_bad > 10:
+                    new_lr = max(get_main_lr(state.main_state) * 0.3, args.min_lr)
                     state = state.replace(main_state=set_main_lr(
-                        state.main_state, get_main_lr(state.main_state) * 0.3))
+                        state.main_state, new_lr))
                     plateau_bad = 0
-                    print(f"plateau: lr -> {get_main_lr(state.main_state):.2e}")
+                    print(f"plateau: lr -> {new_lr:.2e}")
 
         is_best = loss < best_loss
         best_loss = min(best_loss, loss)

@@ -95,6 +95,16 @@ def build_device_tables(t) -> TpuCoderTables:
     )
 
 
+def lanes_for(n: int) -> int:
+    """Lane count for an n-symbol plane: enough parallelism to keep the
+    scan short, few enough that the 4 B/lane state flush stays ~1% of a
+    typical plane's payload."""
+    lanes = 32
+    while lanes < 128 and n >= lanes * 4096:
+        lanes *= 2
+    return lanes
+
+
 def plane_geometry(n: int, lanes: int) -> Tuple[int, int, int]:
     """(T, padded_n, n_max renorm entries) for an n-symbol plane."""
     T = -(-n // lanes)

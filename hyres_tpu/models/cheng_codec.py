@@ -102,6 +102,28 @@ class Cheng2020Codec(CodecBase):
         _, n_idx, mn_p = self._dec_nonanchor(hyper, a_sym, ma_p)
         n_sym = self._enc_symbols(y, mn_p, CHENG_NONANCHOR)
 
+        if self.tpu_coder is not None:
+            tc = self.tpu_coder
+            enc_z, enc_a, enc_n = tc.encode_all(z_sym, a_sym, a_idx,
+                                                n_sym, n_idx)
+            enc_z, enc_a, enc_n = jax.device_get((enc_z, enc_a, enc_n))
+            try:
+                # TPU mode: the two passes are separate per-image frame
+                # LISTS (like the checkerboard layout) instead of the
+                # reference's single flushed stream; decode dispatches on
+                # the nesting structure
+                y_strings = [tc.frames_from_enc(enc_a),
+                             tc.frames_from_enc(enc_n)]
+                z_strings = tc.frames_from_enc(enc_z)
+                return {
+                    "strings": [y_strings, z_strings],
+                    "shape": (int(z_sym.shape[1]), int(z_sym.shape[2])),
+                    "size": size,
+                    "time": time.time() - start,
+                }
+            except OverflowError:
+                pass  # fall through to the host single-stream coder
+
         gt = self.gauss_tables
         a_sym_np, a_idx_np = np.asarray(a_sym), np.asarray(a_idx)
         n_sym_np, n_idx_np = np.asarray(n_sym), np.asarray(n_idx)
@@ -123,6 +145,9 @@ class Cheng2020Codec(CodecBase):
 
     def decompress(self, strings, shape, size=None) -> Dict:
         self._require_tables()
+        if (self.tpu_coder is not None and strings[0]
+                and not isinstance(strings[0][0], (bytes, bytearray))):
+            return self._decompress_tpu(strings, shape, size)
         start = time.time()
         z_sym = narrow_symbols_i16(self._eb_decode(strings[1], shape))
         hyper, a_idx, ma_p = self._dec_anchor(jnp.asarray(z_sym))
@@ -143,6 +168,37 @@ class Cheng2020Codec(CodecBase):
             for i, d in enumerate(decoders)])
         x_hat = self._dec_synthesis(
             y_anchor_hat, jnp.asarray(narrow_symbols_i16(n_sym)), mn_p)
+        if size is not None:
+            x_hat = x_hat[:, : size[0], : size[1], :]
+        x_hat.block_until_ready()
+        return {"x_hat": x_hat, "time": time.time() - start}
+
+    def _decompress_tpu(self, strings, shape, size=None) -> Dict:
+        """All-device decode chain, single final sync."""
+        from .codec import TpuPlaneCoder
+
+        tc = self.tpu_coder
+        start = time.time()
+        B = len(strings[1])
+        C = self.eb_tables.cdf_length.shape[0]
+        n_z = shape[0] * shape[1] * C
+        n_y = shape[0] * 4 * shape[1] * 2 * self.model.N  # packed half-width
+        uz = TpuPlaneCoder.unframe_batch(strings[1], n_z)
+        ua = TpuPlaneCoder.unframe_batch(strings[0][0], n_y)
+        un = TpuPlaneCoder.unframe_batch(strings[0][1], n_y)
+        if uz is None or ua is None or un is None:
+            raise ValueError("mixed/unknown stream framing in cheng payload")
+
+        z_sym = tc.decode_eb(jnp.asarray(uz[2]), jnp.asarray(uz[1]),
+                             jnp.asarray(uz[3]), jnp.asarray(uz[4]),
+                             (B, shape[0], shape[1], C), uz[0])
+        hyper, a_idx, ma_p = self._dec_anchor(z_sym)
+        a_sym = tc.decode_gauss(jnp.asarray(ua[2]), jnp.asarray(ua[1]), a_idx,
+                                jnp.asarray(ua[3]), jnp.asarray(ua[4]), ua[0])
+        y_anchor_hat, n_idx, mn_p = self._dec_nonanchor(hyper, a_sym, ma_p)
+        n_sym = tc.decode_gauss(jnp.asarray(un[2]), jnp.asarray(un[1]), n_idx,
+                                jnp.asarray(un[3]), jnp.asarray(un[4]), un[0])
+        x_hat = self._dec_synthesis(y_anchor_hat, n_sym, mn_p)
         if size is not None:
             x_hat = x_hat[:, : size[0], : size[1], :]
         x_hat.block_until_ready()

@@ -170,33 +170,40 @@ class TpuPlaneCoder:
     stream bytes) against scan depth; see coding/tpu_rans.py.
     """
 
-    def __init__(self, gauss_tables, eb_tables, y_lanes: int = 128,
-                 z_lanes: int = 64):
+    def __init__(self, gauss_tables, eb_tables):
         self.gauss_dev = tpu_rans.build_device_tables(gauss_tables)
         self.eb_dev = tpu_rans.build_device_tables(eb_tables)
-        self.y_lanes, self.z_lanes = y_lanes, z_lanes
 
         gauss_dev, eb_dev = self.gauss_dev, self.eb_dev
 
+        def _enc(sym, idx, dev):
+            """Per-plane vmapped encode; lanes derived from the (static
+            under trace) plane size."""
+            B = sym.shape[0]
+            n = int(np.prod(sym.shape[1:]))
+            lanes = tpu_rans.lanes_for(n)
+            return jax.vmap(
+                lambda s, i: tpu_rans.rans_encode(s, i, dev, lanes)
+            )(sym.astype(jnp.int32).reshape(B, -1),
+              idx.astype(jnp.int32).reshape(B, -1))
+
+        def _z_idx(z_sym):
+            C = z_sym.shape[-1]
+            return jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), z_sym.shape)
+
         @jax.jit
         def encode_all(z_sym, a_sym, a_idx, n_sym, n_idx):
-            B = z_sym.shape[0]
-            C = z_sym.shape[-1]
-            z_flat = z_sym.astype(jnp.int32).reshape(B, -1)
-            z_idx = jnp.broadcast_to(
-                jnp.arange(C, dtype=jnp.int32), z_sym.shape).reshape(B, -1)
-            enc_z = jax.vmap(
-                lambda s, i: tpu_rans.rans_encode(s, i, eb_dev, z_lanes)
-            )(z_flat, z_idx)
-            enc_a = jax.vmap(
-                lambda s, i: tpu_rans.rans_encode(s, i, gauss_dev, y_lanes)
-            )(a_sym.astype(jnp.int32).reshape(B, -1),
-              a_idx.astype(jnp.int32).reshape(B, -1))
-            enc_n = jax.vmap(
-                lambda s, i: tpu_rans.rans_encode(s, i, gauss_dev, y_lanes)
-            )(n_sym.astype(jnp.int32).reshape(B, -1),
-              n_idx.astype(jnp.int32).reshape(B, -1))
-            return enc_z, enc_a, enc_n
+            return (_enc(z_sym, _z_idx(z_sym), eb_dev),
+                    _enc(a_sym, a_idx, gauss_dev),
+                    _enc(n_sym, n_idx, gauss_dev))
+
+        @jax.jit
+        def encode_gauss(sym, idx):
+            return _enc(sym, idx, gauss_dev)
+
+        @jax.jit
+        def encode_eb(z_sym):
+            return _enc(z_sym, _z_idx(z_sym), eb_dev)
 
         @functools.partial(jax.jit, static_argnums=(5,))
         def decode_gauss(stream, states, idx, esc_pos, esc_val, lanes: int):
@@ -226,6 +233,8 @@ class TpuPlaneCoder:
             return sym.reshape(shape)
 
         self.encode_all = encode_all
+        self.encode_gauss = encode_gauss
+        self.encode_eb = encode_eb
         self.decode_gauss = decode_gauss
         self.decode_eb = decode_eb
 

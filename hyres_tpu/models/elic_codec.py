@@ -118,6 +118,8 @@ class ElicCodec(CodecBase):
 
     def compress(self, x: jax.Array) -> Dict:
         self._require_tables()
+        if self.tpu_coder is not None:
+            return self._compress_tpu(x)
         # per-stage timers are part of the reference's return contract
         # (elic.py:414-431: y_enc / z_enc / z_dec / params)
         t_start = time.time()
@@ -163,8 +165,63 @@ class ElicCodec(CodecBase):
                             "z_dec": t_z_dec, "params": t_params},
         }
 
+    def _compress_tpu(self, x: jax.Array) -> Dict:
+        """Single-sync encode: the whole 21-program slice chain plus the
+        11 per-plane rANS encode scans are enqueued async; ONE host
+        transfer pulls every compacted stream (vs 22 host codings in the
+        host path — the reference's per-slice CompressAI calls,
+        /root/reference/models/elic.py:410-495)."""
+        tc = self.tpu_coder
+        t_start = time.time()
+        size = (int(x.shape[1]), int(x.shape[2]))
+        x = pad_to_multiple(x, 64)
+        y, z_sym = self._enc_analysis(x)
+        means, scales = self._dec_hyper(z_sym)
+        y_slices = jnp.split(y, self._slice_bounds(), axis=-1)
+
+        encs = []
+        y_hat_slices: List[jax.Array] = []
+        for i, y_slice in enumerate(y_slices):
+            support = self._dec_support(
+                i, y_hat_slices[0] if y_hat_slices else means[..., :0],
+                y_hat_slices[-1] if y_hat_slices else means[..., :0],
+                means, scales)
+            a_idx, ma_p = self._dec_anchor(i, support)
+            a_sym = self._enc_symbols(y_slice, ma_p, ANCHOR)
+            encs.append(tc.encode_gauss(a_sym, a_idx))
+            y_anchor_hat, n_idx, mn_p = self._dec_nonanchor(i, support, a_sym, ma_p)
+            n_sym = self._enc_symbols(y_slice, mn_p, NON_ANCHOR)
+            encs.append(tc.encode_gauss(n_sym, n_idx))
+            y_hat_slices.append(self._dec_combine(y_anchor_hat, n_sym, mn_p))
+        enc_z = tc.encode_eb(z_sym)
+
+        encs, enc_z = jax.device_get((encs, enc_z))  # the single sync
+        try:
+            y_strings = [tc.frames_from_enc(e) for e in encs]
+            z_strings = tc.frames_from_enc(enc_z)
+        except OverflowError:
+            return self._compress_host_fallback(x)
+        return {
+            "strings": [y_strings, z_strings],
+            "shape": (int(z_sym.shape[1]), int(z_sym.shape[2])),
+            "size": size,
+            "time": time.time() - t_start,
+            "stage_times": {},
+        }
+
+    def _compress_host_fallback(self, x: jax.Array) -> Dict:
+        saved, self.tpu_coder = self.tpu_coder, None
+        try:
+            return self.compress(x)
+        finally:
+            self.tpu_coder = saved
+
     def decompress(self, strings, shape, size=None) -> Dict:
         self._require_tables()
+        if self.tpu_coder is not None:
+            out = self._decompress_tpu(strings, shape, size)
+            if out is not None:
+                return out
         t_start = time.time()
         z_sym = narrow_symbols_i16(self._eb_decode(strings[1], shape))
         means, scales = self._dec_hyper(jnp.asarray(z_sym))
@@ -183,6 +240,58 @@ class ElicCodec(CodecBase):
             y_anchor_hat, n_idx, mn_p = self._dec_nonanchor(i, support, a_sym, ma_p)
             n_sym = jnp.asarray(narrow_symbols_i16(_decode_planes(
                 y_strings[2 * i + 1], np.asarray(n_idx), gt)))
+            y_hat_slices.append(self._dec_combine(y_anchor_hat, n_sym, mn_p))
+
+        x_hat = self._dec_synthesis(y_hat_slices)
+        if size is not None:
+            x_hat = x_hat[:, : size[0], : size[1], :]
+        x_hat.block_until_ready()
+        return {"x_hat": x_hat, "time": time.time() - t_start}
+
+    def _decompress_tpu(self, strings, shape, size=None) -> Dict | None:
+        """All-device decode: 10 per-slice rANS scans interleaved with the
+        shared stage programs, no host sync until x_hat. Returns None for
+        host-framed payloads."""
+        from .codec import TpuPlaneCoder
+
+        tc = self.tpu_coder
+        t_start = time.time()
+        B = len(strings[1])
+        C = self.eb_tables.cdf_length.shape[0]
+        n_z = shape[0] * shape[1] * C
+        H, W = shape[0] * 4, shape[1] * 4
+        uz = TpuPlaneCoder.unframe_batch(strings[1], n_z)
+        if uz is None:
+            return None
+        uys = []
+        for i, g in enumerate(self.model.groups):
+            n_plane = H * (W // 2) * g
+            for k in (0, 1):
+                u = TpuPlaneCoder.unframe_batch(strings[0][2 * i + k], n_plane)
+                if u is None:
+                    return None
+                uys.append(u)
+
+        z_sym = tc.decode_eb(jnp.asarray(uz[2]), jnp.asarray(uz[1]),
+                             jnp.asarray(uz[3]), jnp.asarray(uz[4]),
+                             (B, shape[0], shape[1], C), uz[0])
+        means, scales = self._dec_hyper(z_sym)
+        y_hat_slices: List[jax.Array] = []
+        for i in range(len(self.model.groups)):
+            support = self._dec_support(
+                i, y_hat_slices[0] if y_hat_slices else means[..., :0],
+                y_hat_slices[-1] if y_hat_slices else means[..., :0],
+                means, scales)
+            a_idx, ma_p = self._dec_anchor(i, support)
+            ua = uys[2 * i]
+            a_sym = tc.decode_gauss(jnp.asarray(ua[2]), jnp.asarray(ua[1]),
+                                    a_idx, jnp.asarray(ua[3]),
+                                    jnp.asarray(ua[4]), ua[0])
+            y_anchor_hat, n_idx, mn_p = self._dec_nonanchor(i, support, a_sym, ma_p)
+            un = uys[2 * i + 1]
+            n_sym = tc.decode_gauss(jnp.asarray(un[2]), jnp.asarray(un[1]),
+                                    n_idx, jnp.asarray(un[3]),
+                                    jnp.asarray(un[4]), un[0])
             y_hat_slices.append(self._dec_combine(y_anchor_hat, n_sym, mn_p))
 
         x_hat = self._dec_synthesis(y_hat_slices)

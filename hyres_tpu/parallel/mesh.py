@@ -18,8 +18,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def data_parallel_mesh(devices: Optional[Sequence] = None) -> Mesh:
+def data_parallel_mesh(devices: Optional[Sequence] = None,
+                       batch_size: Optional[int] = None) -> Mesh:
+    """1-D 'data' mesh over the devices.
+
+    If batch_size is given and not divisible by the device count, the
+    mesh shrinks to the largest divisor (the reference's DataParallel
+    accepts any batch; a hard divisibility error on tiny debug batches
+    would be a regression)."""
     devices = list(devices if devices is not None else jax.devices())
+    if batch_size is not None:
+        while len(devices) > 1 and batch_size % len(devices):
+            devices = devices[: len(devices) // 2]
     return Mesh(np.array(devices), ("data",))
 
 

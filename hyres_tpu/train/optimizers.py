@@ -7,9 +7,10 @@ the entropy bottleneck's quantile-fitting loss; everything else goes to
 the main Adam (default lr 1e-4). The partition is asserted disjoint and
 complete, like the reference.
 
-In optax this is two masked gradient transforms over the same tree, so a
-single train step applies both updates in one compiled program (the
-reference runs a second backward pass + optimizer step per batch,
+In optax this is two multi_transform partitions over the same tree (each
+optimizer is a hard no-op outside its own partition), so a single train
+step applies both updates in one compiled program (the reference runs a
+second backward pass + optimizer step per batch,
 src/utils/engine.py:87-90).
 """
 
@@ -56,20 +57,37 @@ def configure_optimizers(params, learning_rate: float = 1e-4,
         optax.clip_by_global_norm(clip_max_norm) if clip_max_norm else optax.identity(),
         optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate),
     )
-    main_tx = optax.masked(main_inner, inv_mask)
-    aux_tx = optax.masked(
-        optax.inject_hyperparams(optax.adam)(learning_rate=aux_learning_rate), mask)
+    # NOTE: optax.masked alone is WRONG for this split — it passes the
+    # gradients of non-masked leaves through UNCHANGED as updates, i.e.
+    # apply_updates would do gradient *ascent* on the other partition
+    # (caught by tests/test_train.py::test_optimizer_partition_is_hard).
+    # multi_transform + set_to_zero makes each optimizer a no-op outside
+    # its own partition, matching the reference's disjoint param groups
+    # (src/utils/optimizers.py:13-25).
+    labels = jax.tree.map(lambda b: "aux" if b else "main", mask)
+    main_tx = optax.multi_transform(
+        {"main": main_inner, "aux": optax.set_to_zero()}, labels)
+    aux_tx = optax.multi_transform(
+        {"aux": optax.inject_hyperparams(optax.adam)(
+            learning_rate=aux_learning_rate),
+         "main": optax.set_to_zero()}, labels)
     return main_tx, aux_tx
 
 
+def _main_hyperparams(main_opt_state) -> dict:
+    # MultiTransformState.inner_states["main"] is a MaskedState wrapping
+    # the (clip, inject_hyperparams(adam)) chain state
+    return main_opt_state.inner_states["main"].inner_state[1].hyperparams
+
+
 def get_main_lr(main_opt_state) -> float:
-    return float(main_opt_state.inner_state[1].hyperparams["learning_rate"])
+    return float(_main_hyperparams(main_opt_state)["learning_rate"])
 
 
 def set_main_lr(main_opt_state, lr: float):
     """Functionally replace the main optimizer's learning rate."""
     import jax.numpy as jnp
 
-    hyper = main_opt_state.inner_state[1].hyperparams
-    hyper["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    _main_hyperparams(main_opt_state)["learning_rate"] = jnp.asarray(
+        lr, jnp.float32)
     return main_opt_state

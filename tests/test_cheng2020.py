@@ -59,3 +59,21 @@ def test_codec_deterministic(cheng_small):
     a = np.asarray(codec.decompress(comp["strings"], comp["shape"])["x_hat"])
     b = np.asarray(codec.decompress(comp["strings"], comp["shape"])["x_hat"])
     assert np.array_equal(a, b)
+
+
+def test_tpu_coder_roundtrip_matches_host(cheng_small):
+    model, params = cheng_small
+    x = jax.random.uniform(jax.random.key(7), (1, 64, 64, 3))
+    host = Cheng2020Codec(model, params, coder="host")
+    host.update(force=True)
+    tpu = Cheng2020Codec(model, params, coder="tpu")
+    tpu.update(force=True)
+    ch = host.compress(x)
+    ct = tpu.compress(x)
+    a = np.asarray(host.decompress(ch["strings"], ch["shape"])["x_hat"])
+    b = np.asarray(tpu.decompress(ct["strings"], ct["shape"])["x_hat"])
+    np.testing.assert_array_equal(a, b)
+    # tpu mode uses per-pass frame lists; host mode one flushed stream
+    assert isinstance(ch["strings"][0][0], bytes)
+    assert not isinstance(ct["strings"][0][0], bytes) or \
+        ct["strings"][0] == ch["strings"][0]  # (host fallback case)

@@ -59,3 +59,22 @@ def test_codec_deterministic(elic_small):
     a = np.asarray(codec.decompress(comp["strings"], comp["shape"])["x_hat"])
     b = np.asarray(codec.decompress(comp["strings"], comp["shape"])["x_hat"])
     assert np.array_equal(a, b)
+
+
+def test_tpu_coder_roundtrip_matches_host(elic_small):
+    """coder="tpu": the 22 host codings collapse to device scans; the
+    reconstruction must equal the host coder's exactly."""
+    model, params = elic_small
+    x = jax.random.uniform(jax.random.key(6), (1, 64, 64, 3))
+    host = ElicCodec(model, params, coder="host")
+    host.update(force=True)
+    tpu = ElicCodec(model, params, coder="tpu")
+    tpu.update(force=True)
+    ch = host.compress(x)
+    ct = tpu.compress(x)
+    a = np.asarray(host.decompress(ch["strings"], ch["shape"])["x_hat"])
+    b = np.asarray(tpu.decompress(ct["strings"], ct["shape"])["x_hat"])
+    np.testing.assert_array_equal(a, b)
+    # cross-decode: tpu codec detects host-framed payloads and falls back
+    c = np.asarray(tpu.decompress(ch["strings"], ch["shape"])["x_hat"])
+    np.testing.assert_array_equal(a, c)

@@ -161,3 +161,41 @@ def test_remat_step_matches_plain():
     assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
     for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_optimizer_partition_is_hard():
+    """Each optimizer must be a strict no-op outside its own partition.
+
+    Regression for a real bug: optax.masked passes non-masked leaves'
+    gradients through UNCHANGED as updates, so apply_updates silently did
+    gradient ASCENT on the other partition (quantiles corrupted by the
+    main step; in refine training the whole 'frozen' codec drifted)."""
+    import optax
+
+    from hyres_tpu.models import LightWeightCheckerboard
+    from hyres_tpu.train import configure_optimizers
+    from hyres_tpu.train.optimizers import quantile_mask
+
+    model = LightWeightCheckerboard(N=8, M=12)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                        noisequant=True, rng=jax.random.key(1))
+    main_tx, aux_tx = configure_optimizers(params, 1e-4, 1e-3, 1.0)
+    main_state = main_tx.init(params)
+    aux_state = aux_tx.init(params)
+
+    grads = jax.tree.map(jnp.ones_like, params)  # nonzero everywhere
+    mask = quantile_mask(params)
+
+    main_upd, _ = main_tx.update(grads, main_state, params)
+    for u, m in zip(jax.tree.leaves(main_upd), jax.tree.leaves(mask)):
+        if m:  # quantile leaves: MAIN update must be exactly zero
+            assert float(jnp.abs(u).max()) == 0.0
+        else:  # and the real partition must actually move
+            assert float(jnp.abs(u).max()) > 0.0
+
+    aux_upd, _ = aux_tx.update(grads, aux_state, params)
+    for u, m in zip(jax.tree.leaves(aux_upd), jax.tree.leaves(mask)):
+        if m:
+            assert float(jnp.abs(u).max()) > 0.0
+        else:  # non-quantile leaves: AUX update must be exactly zero
+            assert float(jnp.abs(u).max()) == 0.0
