@@ -145,6 +145,48 @@ class EntropyBottleneck(nn.Module):
         return jnp.sum(jnp.abs(logits - target))
 
 
+def refit_quantiles(eb_params: dict, tail_mass: float = 1e-9,
+                    iters: int = 80) -> np.ndarray:
+    """Solve the quantiles exactly from the learned density by bisection.
+
+    The reference fits ``quantiles`` by SGD on the aux loss
+    (/root/reference/src/utils/engine.py:87-90), so a badly-initialized or
+    under-trained aux optimizer leaves them mis-fit — which corrupts the
+    integer support that ``build_bottleneck_tables`` derives from them.
+    The quantiles are fully determined by the density: they are the x
+    where the CDF logit hits [-t, 0, t] with t = log(2/tail_mass - 1).
+    The logit is monotone in x by construction (softplus-positive weights,
+    bounded tanh gating), so bisection converges unconditionally.
+
+    Returns a (C, 1, 3) float32 array; does not modify ``eb_params``.
+    """
+    t = math.log(2.0 / tail_mass - 1.0)
+    target = jnp.array([-t, 0.0, t], jnp.float32).reshape(1, 1, 3)
+    p = {k: jnp.asarray(np.asarray(v)) for k, v in eb_params.items()
+         if k != "quantiles"}
+    C = np.asarray(eb_params["bias_0"]).shape[0]
+
+    # expand the bracket until it straddles the targets everywhere
+    lo = jnp.full((C, 1, 3), -1.0, jnp.float32)
+    hi = jnp.full((C, 1, 3), 1.0, jnp.float32)
+    for _ in range(12):  # up to +/- 4096
+        f_lo = _logits_cumulative(p, lo, stop_gradient=True)
+        f_hi = _logits_cumulative(p, hi, stop_gradient=True)
+        lo = jnp.where(f_lo > target, lo * 2.0, lo)
+        hi = jnp.where(f_hi < target, hi * 2.0, hi)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        f = _logits_cumulative(p, mid, stop_gradient=True)
+        lo = jnp.where(f < target, mid, lo)
+        hi = jnp.where(f < target, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return np.asarray(0.5 * (lo + hi), np.float32)
+
+
 @dataclasses.dataclass
 class CdfTables:
     """Quantized CDF tables consumed by the rANS coder (int32 numpy)."""

@@ -109,3 +109,33 @@ def test_entropy_bottleneck_real_coding(rng_np):
     out = RansDecoder(data).decode_stream(
         idx.ravel(), tabs.quantized_cdf, tabs.cdf_length, tabs.offset)
     assert np.array_equal(out, sym.ravel())
+
+
+def test_refit_quantiles_solves_density_inverse():
+    from hyres_tpu.entropy import refit_quantiles
+    from hyres_tpu.entropy.bottleneck import _logits_cumulative
+    import math
+
+    eb = EntropyBottleneck(12)
+    z = jax.random.normal(jax.random.key(0), (1, 8, 8, 12)) * 2
+    params = eb.init(jax.random.key(1), z, noise=True, rng=jax.random.key(2))
+    eb_params = dict(params["params"])
+
+    # corrupt the quantiles (simulating a mis-fit aux optimizer)
+    eb_params["quantiles"] = jnp.asarray(
+        np.asarray(eb_params["quantiles"]) * 7.0 + 3.0)
+    q = refit_quantiles(eb_params)
+    assert q.shape == (12, 1, 3)
+    # fitted quantiles hit the CDF logit targets exactly
+    t = math.log(2.0 / 1e-9 - 1.0)
+    target = np.array([-t, 0.0, t], np.float32).reshape(1, 1, 3)
+    p = {k: v for k, v in eb_params.items() if k != "quantiles"}
+    logits = np.asarray(_logits_cumulative(p, jnp.asarray(q), stop_gradient=True))
+    np.testing.assert_allclose(logits, np.broadcast_to(target, logits.shape),
+                               atol=1e-2)
+    # ordering: lower tail < median < upper tail
+    assert np.all(q[:, 0, 0] < q[:, 0, 1]) and np.all(q[:, 0, 1] < q[:, 0, 2])
+    # aux loss at the refit quantiles is ~0 (vs SGD which only approaches it)
+    repaired = {"params": {**eb_params, "quantiles": jnp.asarray(q)}}
+    aux = float(eb.apply(repaired, method=lambda m: m.aux_loss()))
+    assert aux < 1.0
