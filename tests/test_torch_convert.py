@@ -391,3 +391,116 @@ def test_cheng2020_converter_parity():
     got_gs = _GS(N).apply({"params": gs_tree},
                           jnp.asarray(y.numpy().transpose(0, 2, 3, 1)))
     _cmp(want_gs, got_gs, atol=5e-4)
+
+
+def test_elic_converter_parity():
+    """Full-model ELIC converter parity (VERDICT r1 item 6): build the
+    reference LightWeightELIC topology in torch with reference state-dict
+    keys (/root/reference/models/elic.py:38-116 incl. the capitalized
+    ``ParamAggregation``), convert, and compare a full deterministic
+    forward — the per-slice cc_transforms / context_prediction /
+    ParamAggregation wiring is exactly where a silent transpose or
+    slice-index swap would hide."""
+    from hyres_tpu.models import LightWeightELIC
+
+    torch.manual_seed(7)
+    N, M = 8, 16
+    groups = (4, 4, 8)
+    S = len(groups)
+
+    tga = build_torch_ga(N, M)
+    tgs = build_torch_gs(N, M)
+    th_a = tnn.Sequential(tnn.Conv2d(M, N, 3, padding=1), tnn.ReLU(),
+                          tconv(N, N), tnn.ReLU(), tconv(N, N))
+    th_s = tnn.Sequential(tdeconv(N, N), tnn.ReLU(),
+                          tdeconv(N, N * 3 // 2), tnn.ReLU(),
+                          tnn.Conv2d(N * 3 // 2, 2 * M, 3, padding=1))
+    tccs = [tnn.Sequential(
+        tconv(groups[0] + (groups[i - 1] if i > 1 else 0), 224, s=1),
+        tnn.ReLU(), tconv(224, 128, s=1), tnn.ReLU(),
+        tconv(128, 2 * groups[i], s=1)) for i in range(1, S)]
+    tcps = []
+    for g in groups:
+        cp = tnn.Conv2d(g, 2 * g, 5, padding=2)
+        with torch.no_grad():  # anchor-tap mask (checkerboard.py:43-44)
+            mask = torch.zeros_like(cp.weight)
+            mask[:, :, 0::2, 1::2] = 1
+            mask[:, :, 1::2, 0::2] = 1
+            cp.weight.mul_(mask)
+        tcps.append(cp)
+    tpas = [tnn.Sequential(
+        tnn.Conv2d(2 * M + (2 * g if i > 0 else 0) + 2 * g, 640, 1),
+        tnn.ReLU(), tnn.Conv2d(640, 512, 1), tnn.ReLU(),
+        tnn.Conv2d(512, 2 * g, 1)) for i, g in enumerate(groups)]
+
+    C = N  # EB channels
+    filters = (1, 3, 3, 3, 3, 1)
+    eb_sd = {"entropy_bottleneck.quantiles":
+             np.stack([np.array([[-6.0, 0.3, 6.0]], np.float32)] * C) +
+             np.random.RandomState(0).uniform(-0.2, 0.2, (C, 1, 3)).astype(np.float32)}
+    rs = np.random.RandomState(1)
+    for k in range(5):
+        eb_sd[f"entropy_bottleneck._matrices.{k}"] = rs.uniform(
+            -1, 0, (C, filters[k + 1], filters[k])).astype(np.float32)
+        eb_sd[f"entropy_bottleneck._biases.{k}"] = rs.uniform(
+            -0.5, 0.5, (C, filters[k + 1], 1)).astype(np.float32)
+        if k < 4:
+            eb_sd[f"entropy_bottleneck._factors.{k}"] = rs.uniform(
+                -0.1, 0.1, (C, filters[k + 1], 1)).astype(np.float32)
+
+    sd = dict(eb_sd)
+    for prefix, mod in [("g_a", tga), ("g_s", tgs), ("h_a", th_a), ("h_s", th_s)]:
+        sd.update({f"{prefix}.{k}": v.numpy() for k, v in mod.state_dict().items()})
+    for i, mod in enumerate(tccs):
+        sd.update({f"cc_transforms.{i}.{k}": v.numpy()
+                   for k, v in mod.state_dict().items()})
+    for i, mod in enumerate(tcps):
+        sd.update({f"context_prediction.{i}.{k}": v.numpy()
+                   for k, v in mod.state_dict().items()})
+    for i, mod in enumerate(tpas):
+        sd.update({f"ParamAggregation.{i}.{k}": v.numpy()
+                   for k, v in mod.state_dict().items()})
+
+    tree = tc.convert_elic(sd, num_slices=S)
+
+    # ---- torch deterministic (eval/STE) forward ----
+    x = torch.rand(1, 3, 64, 64)
+    with torch.no_grad():
+        y = tga(x)
+        z = th_a(y)
+        med = torch.from_numpy(
+            eb_sd["entropy_bottleneck.quantiles"][:, 0, 1]).view(1, C, 1, 1)
+        z_hat = torch.round(z - med) + med
+        lp = th_s(z_hat)
+        lm, ls = lp.chunk(2, 1)
+        H, W = y.shape[2], y.shape[3]
+        ii = torch.arange(H)[:, None]
+        jj = torch.arange(W)[None, :]
+        mask_a = (((ii + jj) % 2) == 0).float().view(1, 1, H, W)
+        y_slices = torch.split(y, list(groups), dim=1)
+        y_hat_slices = []
+        for i, ys in enumerate(y_slices):
+            if i == 0:
+                support = torch.cat([lm, ls], 1)
+            else:
+                cc_in = y_hat_slices[0] if i == 1 else torch.cat(
+                    [y_hat_slices[0], y_hat_slices[-1]], 1)
+                cc = tccs[i - 1](cc_in)
+                ccm, ccs = cc.chunk(2, 1)
+                support = torch.cat([ccm, ccs, lm, ls], 1)
+            g = groups[i]
+            pa_in = torch.cat([torch.zeros_like(ys.repeat(1, 2, 1, 1)[:, :2 * g]),
+                               support], 1)
+            means_a, scales_a = tpas[i](pa_in).chunk(2, 1)
+            ya = (torch.round(ys * mask_a - means_a) + means_a) * mask_a
+            ctx = tcps[i](ya)
+            means_n, scales_n = tpas[i](torch.cat([ctx, support], 1)).chunk(2, 1)
+            yn = (torch.round(ys * (1 - mask_a) - means_n) + means_n) * (1 - mask_a)
+            y_hat_slices.append(ya + yn)
+        x_hat = tgs(torch.cat(y_hat_slices, 1))
+
+    # ---- converted JAX forward ----
+    model = LightWeightELIC(N=N, M=M, groups=groups)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    out = model.apply({"params": tree}, xj, noisequant=False)
+    _cmp(x_hat, out["x_hat"], atol=2e-3)
