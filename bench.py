@@ -92,29 +92,41 @@ def main():
           f"psnr={np.mean(psnrs):.2f} "
           f"per-image times={['%.3f' % t for t in times]}", file=sys.stderr)
 
-    # host-coder comparison (rate-optimal framing, host syncs per stage)
-    host = HyresCodec(model, params, coder="host")
-    host.update(force=True)
-    for shape in {im.shape for im in imgs}:
-        warm = next(im for im in imgs if im.shape == shape)
-        jax.block_until_ready(host.inference(warm)["x_hat"])
-    hstats = [_roundtrip_stats(host, x) for x in imgs[:3]]
-    print(f"bench side-info: host-coder bpp={np.mean([s[1] for s in hstats]):.4f} "
-          f"time={np.mean([s[0] for s in hstats]):.3f}s", file=sys.stderr)
+    # side-info sections are best-effort: they must NEVER prevent the
+    # JSON line the driver records (a batched-mode compile OOM did once)
+    try:
+        host = HyresCodec(model, params, coder="host")
+        host.update(force=True)
+        for shape in {im.shape for im in imgs}:
+            warm = next(im for im in imgs if im.shape == shape)
+            jax.block_until_ready(host.inference(warm)["x_hat"])
+        hstats = [_roundtrip_stats(host, x) for x in imgs[:3]]
+        print(f"bench side-info: host-coder "
+              f"bpp={np.mean([s[1] for s in hstats]):.4f} "
+              f"time={np.mean([s[0] for s in hstats]):.3f}s", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench side-info: host-coder comparison failed: {e!r}",
+              file=sys.stderr)
 
-    # batched throughput: all same-orientation Kodak images as one batch
-    wide = [p for p in KODAK if Image.open(p).size == (768, 512)]
-    if len(wide) >= 4:
-        batch = jnp.asarray(np.stack([
-            np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
-            for p in wide]))
-        jax.block_until_ready(codec.inference(batch)["x_hat"])  # warm
-        t0 = time.time()
-        rb = codec.inference(batch)
-        jax.block_until_ready(rb["x_hat"])
-        bt = time.time() - t0
-        print(f"bench side-info: batched throughput {len(wide)} images in "
-              f"{bt:.3f}s = {bt / len(wide):.4f} s/image", file=sys.stderr)
+    # batched throughput: 8 same-orientation Kodak images as one batch
+    # (bounded batch: 16+ full-res images can exceed HBM when the chip is
+    # shared with a training run)
+    try:
+        wide = [p for p in KODAK if Image.open(p).size == (768, 512)][:8]
+        if len(wide) >= 4:
+            batch = jnp.asarray(np.stack([
+                np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
+                for p in wide]))
+            jax.block_until_ready(codec.inference(batch)["x_hat"])  # warm
+            t0 = time.time()
+            rb = codec.inference(batch)
+            jax.block_until_ready(rb["x_hat"])
+            bt = time.time() - t0
+            print(f"bench side-info: batched throughput {len(wide)} images "
+                  f"in {bt:.3f}s = {bt / len(wide):.4f} s/image",
+                  file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench side-info: batched mode failed: {e!r}", file=sys.stderr)
 
     value = float(np.mean(times))
     print(json.dumps({

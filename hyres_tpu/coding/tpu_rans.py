@@ -56,16 +56,26 @@ Z_LANES = 64
 class TpuCoderTables(NamedTuple):
     """Device-resident coding tables for one CdfTables set."""
 
-    lut_entry: jax.Array   # (rows * 65536,) u32: freq << 16 | start
+    lut_entry: jax.Array   # (rows * 65536,) u32: freq << 16 | (slot - start)
     lut_sym: jax.Array     # (rows * 65536,) i32: value, or ESCAPE_MARK
-    cdf: jax.Array         # (rows, maxL) i32 (encode side)
+    enc_entry: jax.Array   # (rows * maxL,) u32: freq << 16 | start
+    row_meta: jax.Array    # (rows,) u32: (offset + 2^15) << 16 | (length - 2)
+    cdf: jax.Array         # (rows, maxL) i32 (host-format reference)
     cdf_length: jax.Array  # (rows,) i32
     offset: jax.Array      # (rows,) i32
     pad_symbol: int        # host: most probable value of row 0
 
 
 def build_device_tables(t) -> TpuCoderTables:
-    """CdfTables (host numpy, from entropy.build_*_tables) -> device LUTs."""
+    """CdfTables (host numpy, from entropy.build_*_tables) -> device LUTs.
+
+    lut_entry[row, slot] = freq << 16 | (slot - start): everything the
+    decode state update needs in ONE gather (the update is
+    ``state = freq * (state >> 16) + (slot - start)``, and slot - start
+    is a function of the slot, so it can live in the LUT). Symbols are
+    recovered OUTSIDE the scan from lut_sym in one bulk gather — the
+    serial chain carries no symbol work.
+    """
     cdf = np.asarray(t.quantized_cdf, np.int64)
     lengths = np.asarray(t.cdf_length, np.int64)
     offsets = np.asarray(t.offset, np.int64)
@@ -79,15 +89,29 @@ def build_device_tables(t) -> TpuCoderTables:
         s = np.searchsorted(bounds, slots, side="right") - 1
         start = bounds[s]
         freq = bounds[s + 1] - start
-        lut_entry[r] = ((freq.astype(np.uint32)) << 16) | start.astype(np.uint32)
+        assert freq.max() <= 0xFFFF, "degenerate full-range CDF bin"
+        lut_entry[r] = ((freq.astype(np.uint32)) << 16) | (
+            (slots - start).astype(np.uint32))
         val = (s + offsets[r]).astype(np.int32)
         val[s == maxv] = ESCAPE_MARK
         lut_sym[r] = val
     freqs0 = np.diff(cdf[0, : lengths[0]])
     pad_symbol = int(np.argmax(freqs0[:-1]) + offsets[0])  # skip escape bin
+    # encode-side packed tables: one gather for (freq, start), one for
+    # (offset, escape bin index)
+    max_len = cdf.shape[1]
+    enc_entry = np.zeros((rows, max_len), np.uint32)
+    for r in range(rows):
+        nbins = lengths[r] - 1
+        f = np.diff(cdf[r, : lengths[r]]).astype(np.uint32)
+        enc_entry[r, :nbins] = (f << 16) | cdf[r, :nbins].astype(np.uint32)
+    row_meta = (((offsets + (1 << 15)).astype(np.uint32) << 16)
+                | (lengths - 2).astype(np.uint32))
     return TpuCoderTables(
         lut_entry=jnp.asarray(lut_entry.reshape(-1)),
         lut_sym=jnp.asarray(lut_sym.reshape(-1)),
+        enc_entry=jnp.asarray(enc_entry.reshape(-1)),
+        row_meta=jnp.asarray(row_meta),
         cdf=jnp.asarray(t.quantized_cdf, jnp.int32),
         cdf_length=jnp.asarray(t.cdf_length, jnp.int32),
         offset=jnp.asarray(t.offset, jnp.int32),
@@ -95,12 +119,44 @@ def build_device_tables(t) -> TpuCoderTables:
     )
 
 
+def _div_u32_by_u16(state: jax.Array, freq: jax.Array,
+                    rcp: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Exact (floor(state / freq), state % freq) for u32 state, u16 freq.
+
+    TPU VPUs have no integer divide — XLA lowers ``//`` to a long
+    serial sequence (~5 us/step measured inside a scan). Long division
+    in four 8-bit limbs instead: each round's partial remainder is
+    < freq * 256 <= 2^24, exactly representable in f32, so one f32
+    reciprocal multiply + a +/-2 correction gives the exact limb
+    quotient. ~40 cheap vector ops, no data-dependent latency.
+    rcp = 1.0 / freq (f32), precomputed outside the serial chain.
+    """
+    q = jnp.zeros_like(state)
+    r = jnp.zeros_like(state)
+    for shift in (24, 16, 8, 0):
+        acc = (r << 8) | ((state >> shift) & 0xFF)
+        qi = (acc.astype(jnp.float32) * rcp).astype(jnp.uint32)
+        # correction: f32 estimate is within +/-2 of the exact quotient
+        for _ in range(2):
+            over = qi * freq > acc
+            qi = qi - over.astype(jnp.uint32)
+        ri = acc - qi * freq
+        for _ in range(2):
+            under = ri >= freq
+            qi = qi + under.astype(jnp.uint32)
+            ri = ri - jnp.where(under, freq, jnp.zeros_like(freq))
+        q = (q << 8) | qi
+        r = ri
+    return q, r
+
+
 def lanes_for(n: int) -> int:
     """Lane count for an n-symbol plane: enough parallelism to keep the
-    scan short, few enough that the 4 B/lane state flush stays ~1% of a
-    typical plane's payload."""
+    scan short, few enough that the ~2 net B/lane state flush stays ~1%
+    of a typical plane's payload (the scan's serial latency is what the
+    decode critical path pays, ~7 us/step)."""
     lanes = 32
-    while lanes < 128 and n >= lanes * 4096:
+    while lanes < 256 and n >= lanes * 2048:
         lanes *= 2
     return lanes
 
@@ -109,6 +165,16 @@ def plane_geometry(n: int, lanes: int) -> Tuple[int, int, int]:
     """(T, padded_n, n_max renorm entries) for an n-symbol plane."""
     T = -(-n // lanes)
     return T, T * lanes, T * lanes  # worst case: <=1 renorm u16 per symbol
+
+
+def stream_cap(n: int, lanes: int) -> int:
+    """Renorm-stream buffer entries: average 4 bits/symbol. Trained-stat
+    planes run 2-3 bits/symbol; a plane that exceeds the cap overflows at
+    framing time and the batch falls back to the host coder (same path as
+    escape-list overflow). Capping cuts the device->host stream transfer
+    4x vs the worst-case buffer."""
+    _, padded, _ = plane_geometry(n, lanes)
+    return max(4096, padded // 4)
 
 
 def _to_tl(flat: jax.Array, T: int, lanes: int, pad_value) -> jax.Array:
@@ -138,38 +204,46 @@ def rans_encode(symbols: jax.Array, indexes: jax.Array,
 
     max_len = tables.cdf.shape[1]
 
+    # ALL table lookups hoisted out of the serial chain: the CDF entry of
+    # every symbol is known before the scan (it depends only on symbol and
+    # row, never on the rANS state), so (start, freq) for the whole plane
+    # is one bulk vectorized gather — the scan body is pure arithmetic.
+    # (A gather inside the scan costs ~25 ns/lane-element of *serial*
+    # latency per step; hoisted, the same gather is throughput-bound.)
+    meta = jnp.take(tables.row_meta, idx_tl)
+    off = (meta >> 16).astype(jnp.int32) - (1 << 15)
+    maxv = (meta & 0xFFFF).astype(jnp.int32)
+    v = sym_tl - off
+    esc_tl = (v < 0) | (v >= maxv)
+    vv = jnp.where(esc_tl, maxv, v)
+    entry = jnp.take(tables.enc_entry, idx_tl * max_len + vv)
+    start = entry & 0xFFFF
+    freq = entry >> 16
+    rcp = 1.0 / freq.astype(jnp.float32)
+
     def step(state, xs):
-        sym, idx = xs
-        off = tables.offset[idx]
-        maxv = tables.cdf_length[idx] - 2
-        v = sym - off
-        esc = (v < 0) | (v >= maxv)
-        vv = jnp.where(esc, maxv, v)
-        flat_idx = idx * max_len + vv
-        start = jnp.take(tables.cdf.reshape(-1), flat_idx).astype(jnp.uint32)
-        end = jnp.take(tables.cdf.reshape(-1), flat_idx + 1).astype(jnp.uint32)
-        freq = end - start
+        start, freq, rcp = xs
         # renorm: emit low 16 bits when the encode step would overflow
         need = state >= (freq << 16)
         emit = (state & 0xFFFF).astype(jnp.uint16)
         state = jnp.where(need, state >> 16, state)
-        # exact u32 rANS push
-        q = state // freq
-        r = state - q * freq
+        # exact u32 rANS push (limb division, see _div_u32_by_u16)
+        q, r = _div_u32_by_u16(state, freq, rcp)
         state = (q << 16) + r + start
-        return state, (emit, need, esc)
+        return state, (emit, need)
 
     init = jnp.full((lanes,), RENORM_BASE, jnp.uint32)
-    states, (emit_tl, mask_tl, esc_tl) = jax.lax.scan(
-        step, init, (sym_tl, idx_tl), reverse=True)
+    states, (emit_tl, mask_tl) = jax.lax.scan(
+        step, init, (start, freq, rcp), reverse=True)
 
     # compact the renorm stream in decoder read order (step asc, lane asc)
+    # into a capped buffer (overflow detected at framing time)
     mask_flat = mask_tl.reshape(-1)
     emit_flat = emit_tl.reshape(-1)
-    pos = jnp.cumsum(mask_flat) - 1
+    cap = stream_cap(n, lanes)
+    (pos,) = jnp.nonzero(mask_flat, size=cap, fill_value=padded)
+    stream = jnp.take(emit_flat, pos, mode="fill", fill_value=0)
     n_renorm = jnp.sum(mask_flat).astype(jnp.int32)
-    stream = jnp.zeros((padded,), jnp.uint16).at[
-        jnp.where(mask_flat, pos, padded)].set(emit_flat, mode="drop")
 
     # escape side list (flat positions in the padded (T*lanes) layout)
     esc_flat = esc_tl.reshape(-1)
@@ -198,27 +272,38 @@ def rans_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
     """
     T, padded, _ = plane_geometry(n, lanes)
     idx_tl = _to_tl(indexes.astype(jnp.int32), T, lanes, 0)
+    base_tl = idx_tl.astype(jnp.uint32) << 16  # LUT row base, outside scan
 
-    def step(carry, idx):
+    # exclusive prefix-sum over the lane renorm mask as an f32
+    # matvec: one MXU pass (~us) instead of XLA's serial cumsum
+    # lowering (~7 us/step measured). Exact: counts <= lanes << 2^24.
+    # Last column accumulates the total for the ptr bump.
+    prefix = np.zeros((lanes, lanes + 1), np.float32)
+    for i in range(lanes):
+        prefix[i, i + 1:] = 1.0  # strictly-upper: rank[j] = sum_{i<j} need[i]
+    prefix[:, lanes] = 1.0
+    prefix_m = jnp.asarray(prefix)
+
+    def step(carry, base):
         state, ptr = carry
         slot = state & 0xFFFF
-        flat = (idx.astype(jnp.uint32) << 16) | slot
-        entry = jnp.take(tables.lut_entry, flat)
-        sym = jnp.take(tables.lut_sym, flat)
-        freq = entry >> 16
-        start = entry & 0xFFFF
-        state = freq * (state >> 16) + slot - start
-        # shared-stream renorm: lanes read in lane order
-        need = (state < RENORM_BASE).astype(jnp.uint32)
-        rank = jnp.cumsum(need) - need            # exclusive prefix
+        entry = jnp.take(tables.lut_entry, base | slot)
+        # entry = freq << 16 | (slot - start): the full state update in
+        # one gather; symbols are recovered after the scan
+        state = (entry >> 16) * (state >> 16) + (entry & 0xFFFF)
+        need = (state < RENORM_BASE).astype(jnp.float32)
+        rankx = need @ prefix_m
+        rank = rankx[:lanes].astype(jnp.uint32)
         read = jnp.take(stream, ptr + rank, mode="clip").astype(jnp.uint32)
         state = jnp.where(need > 0, (state << 16) | read, state)
-        ptr = ptr + jnp.sum(need)
-        return (state, ptr), sym
+        ptr = ptr + rankx[lanes].astype(jnp.uint32)
+        return (state, ptr), slot.astype(jnp.uint16)
 
     init = (states.astype(jnp.uint32), jnp.uint32(0))
-    _, sym_tl = jax.lax.scan(step, init, idx_tl)
+    _, slot_tl = jax.lax.scan(step, init, base_tl)
 
+    # bulk symbol recovery (fully parallel, throughput-bound)
+    sym_tl = jnp.take(tables.lut_sym, base_tl | slot_tl.astype(jnp.uint32))
     sym_flat = sym_tl.reshape(-1)
     # substitute escaped values (side list; padding positions drop)
     sym_flat = sym_flat.at[esc_pos].set(esc_val, mode="drop")
@@ -247,6 +332,9 @@ def frame_plane(states: np.ndarray, stream: np.ndarray, n_renorm: int,
     assert 1 << lanes_log2 == lanes
     if n_esc > ESC_MAX:
         raise OverflowError(f"{n_esc} escapes exceed side-list cap {ESC_MAX}")
+    if n_renorm > stream.shape[0]:
+        raise OverflowError(
+            f"{n_renorm} renorm chunks exceed the stream cap {stream.shape[0]}")
     head = (bytes([TPU_MAGIC | lanes_log2, int(n_esc)])
             + int(n_renorm).to_bytes(4, "little"))
     body = (np.asarray(states, "<u4").tobytes()
@@ -267,7 +355,7 @@ def unframe_plane(data: bytes, n: int):
     states = np.frombuffer(data, "<u4", lanes, off).copy()
     off += 4 * lanes
     T, padded, _ = plane_geometry(n, lanes)
-    stream = np.zeros(padded, np.uint16)
+    stream = np.zeros(stream_cap(n, lanes), np.uint16)
     stream[:n_renorm] = np.frombuffer(data, "<u2", n_renorm, off)
     off += 2 * n_renorm
     esc_pos = np.full(ESC_MAX, padded, np.int32)

@@ -253,8 +253,13 @@ def decode_from_coefficients(cy: jax.Array, ccb: jax.Array, ccr: jax.Array,
     return rgb[:, :height, :width, :]
 
 
+@functools.partial(jax.jit, static_argnums=(5, 6))
 def decode_with_qtables(cy, ccb, ccr, qy, qc, height: int, width: int) -> jax.Array:
-    """Decode with explicit quant tables (for foreign/libjpeg streams)."""
+    """Decode with explicit quant tables (for foreign/libjpeg streams).
+
+    jit'd: unjitted this is ~100 op-by-op dispatches, which costs ~150 ms
+    of host time over the TPU tunnel (measured) — it sat on the decode
+    critical path of every HyRES decompress."""
     y = dequant_idct(cy, jnp.asarray(qy))
     cb = upsample_420(dequant_idct(ccb, jnp.asarray(qc)))
     cr = upsample_420(dequant_idct(ccr, jnp.asarray(qc)))

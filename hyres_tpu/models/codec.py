@@ -357,9 +357,15 @@ class CheckerboardCodec(CodecBase):
         y, z_sym = self._enc_analysis(x)
         return self._compress_from_latents(y, z_sym, size, start)
 
-    def _compress_from_latents(self, y, z_sym, size, start) -> Dict:
+    def _compress_from_latents(self, y, z_sym, size, start, extra=None):
         if self.tpu_coder is not None:
-            return self._compress_from_latents_tpu(y, z_sym, size, start)
+            return self._compress_from_latents_tpu(y, z_sym, size, start, extra)
+        if extra is not None:
+            out = self._compress_from_latents_host(y, z_sym, size, start)
+            return out, jax.device_get(extra)
+        return self._compress_from_latents_host(y, z_sym, size, start)
+
+    def _compress_from_latents_host(self, y, z_sym, size, start) -> Dict:
         # dispatch is async: the host rANS work for each plane overlaps the
         # device compute of the next stage
         lp, a_idx, ma_p, a_sym = self._dec_stage1(z_sym, y)
@@ -376,10 +382,12 @@ class CheckerboardCodec(CodecBase):
             "time": time.time() - start,
         }
 
-    def _compress_from_latents_tpu(self, y, z_sym, size, start) -> Dict:
+    def _compress_from_latents_tpu(self, y, z_sym, size, start, extra=None):
         """Single-sync encode: the stage programs and all three rANS
         encode scans are enqueued back-to-back (device-to-device), then
-        ONE host transfer pulls the compacted streams.
+        ONE host transfer pulls the compacted streams (and the caller's
+        `extra` device arrays — e.g. HyRES's JPEG coefficients — so the
+        whole compress has exactly one sync).
 
         If ANY plane's escape side list overflows (pathological stats,
         e.g. untrained models), the WHOLE batch re-frames with the host
@@ -390,7 +398,8 @@ class CheckerboardCodec(CodecBase):
         _, n_idx, mn_p, n_sym = self._dec_stage2(lp, a_sym, ma_p, y)
         enc_z, enc_a, enc_n = tc.encode_all(z_sym, a_sym, a_idx, n_sym, n_idx)
         # the single device->host sync
-        enc_z, enc_a, enc_n = jax.device_get((enc_z, enc_a, enc_n))
+        enc_z, enc_a, enc_n, extra_np = jax.device_get(
+            (enc_z, enc_a, enc_n, extra))
 
         try:
             z_strings = tc.frames_from_enc(enc_z)
@@ -402,12 +411,13 @@ class CheckerboardCodec(CodecBase):
                 np.asarray(a_sym), np.asarray(a_idx), self.gauss_tables)
             nonanchor_strings = _encode_planes(
                 np.asarray(n_sym), np.asarray(n_idx), self.gauss_tables)
-        return {
+        out = {
             "strings": [[anchor_strings, nonanchor_strings], z_strings],
             "shape": (int(z_sym.shape[1]), int(z_sym.shape[2])),
             "size": size,
             "time": time.time() - start,
         }
+        return out if extra is None else (out, extra_np)
 
     def decompress(self, strings, shape: Tuple[int, int],
                    size: Tuple[int, int] | None = None) -> Dict:
@@ -454,15 +464,27 @@ class CheckerboardCodec(CodecBase):
         un = TpuPlaneCoder.unframe_batch(strings[0][1], n_y)
         if uz is None or ua is None or un is None:
             return None
-        z_sym = tc.decode_eb(jnp.asarray(uz[2]), jnp.asarray(uz[1]),
-                             jnp.asarray(uz[3]), jnp.asarray(uz[4]),
-                             zshape, uz[0])
+        # pack the three planes' buffers into ONE upload per dtype (each
+        # host->device transfer costs ~10s of ms of tunnel latency);
+        # device-side slices reuse the per-plane compiled programs
+        d_stream = jnp.asarray(
+            np.concatenate([ua[2], un[2], uz[2]], axis=1))
+        d_states = jnp.asarray(
+            np.concatenate([ua[1], un[1], uz[1]], axis=1))
+        d_esc = jnp.asarray(
+            np.stack([ua[3], ua[4], un[3], un[4], uz[3], uz[4]], axis=1))
+        capA, capN = ua[2].shape[1], un[2].shape[1]
+        lanesA, lanesN = ua[1].shape[1], un[1].shape[1]
+        sA, sN, sZ = (d_stream[:, :capA], d_stream[:, capA:capA + capN],
+                      d_stream[:, capA + capN:])
+        stA, stN, stZ = (d_states[:, :lanesA],
+                         d_states[:, lanesA:lanesA + lanesN],
+                         d_states[:, lanesA + lanesN:])
+        z_sym = tc.decode_eb(sZ, stZ, d_esc[:, 4], d_esc[:, 5], zshape, uz[0])
         y_zero = jnp.zeros((B, shape[0] * 4, shape[1] * 4, self.model.M),
                            jnp.float32)
         lp, a_idx, ma_p, _ = self._dec_stage1(z_sym, y_zero)
-        a_sym = tc.decode_gauss(jnp.asarray(ua[2]), jnp.asarray(ua[1]), a_idx,
-                                jnp.asarray(ua[3]), jnp.asarray(ua[4]), ua[0])
+        a_sym = tc.decode_gauss(sA, stA, a_idx, d_esc[:, 0], d_esc[:, 1], ua[0])
         y_anchor_hat, n_idx, mn_p, _ = self._dec_stage2(lp, a_sym, ma_p, y_zero)
-        n_sym = tc.decode_gauss(jnp.asarray(un[2]), jnp.asarray(un[1]), n_idx,
-                                jnp.asarray(un[3]), jnp.asarray(un[4]), un[0])
+        n_sym = tc.decode_gauss(sN, stN, n_idx, d_esc[:, 2], d_esc[:, 3], un[0])
         return y_anchor_hat, n_sym, mn_p

@@ -38,6 +38,15 @@ from ..jpeg import (
 )
 from ..jpeg.bitstream import ParsedJpeg
 from ..jpeg.core import decode_with_qtables
+from ..jpeg.tables import quality_to_qtables
+
+
+def _coef_fit_int8(quality: int) -> bool:
+    """True when the quality's quant tables bound every coefficient to
+    int8: |DCT coeff| of a level-shifted 8x8 block is < 1024, so a
+    minimum quant step of 9 guarantees |quantized| <= 113 < 128."""
+    qy, qc = quality_to_qtables(quality)
+    return int(min(qy.min(), qc.min())) >= 9
 from ..nn import MultiScaleRefine
 from .checkerboard import LightWeightCheckerboard
 from .codec import CheckerboardCodec
@@ -140,9 +149,21 @@ class HyresCodec:
             from ..entropy import quantize_symbols_i16
 
             z_sym = quantize_symbols_i16(z, med)
-            coef16 = (coef.y.astype(jnp.int16), coef.cb.astype(jnp.int16),
-                      coef.cr.astype(jnp.int16))
-            return coef16, y, z_sym
+            # coefficients cross to the host for JFIF assembly; when the
+            # quant tables bound every |coeff| <= 127 (|DCT coeff| of a
+            # level-shifted 8x8 block is <= 1024, so min quant step >= 9
+            # guarantees it — true for the production low qualities),
+            # int8 halves that transfer. Statically decided: no runtime
+            # flag, no extra sync.
+            dt = jnp.int8 if _coef_fit_int8(model.jpeg_quality) else jnp.int16
+            coef_t = (coef.y.astype(dt), coef.cb.astype(dt),
+                      coef.cr.astype(dt))
+            B = x.shape[0]
+            # one flat buffer for the host hop (a single transfer in the
+            # compress sync); the per-plane arrays carry the shapes
+            coef_flat = jnp.concatenate(
+                [c.reshape(B, -1) for c in coef_t], axis=1)
+            return coef_t, coef_flat, y, z_sym
 
         from ..nn import checkerboard
         from ..nn.checkerboard import NON_ANCHOR
@@ -173,11 +194,15 @@ class HyresCodec:
         start = time.time()
         q = self.model.jpeg_quality
         size = (int(x.shape[1]), int(x.shape[2]))
-        (cy, ccb, ccr), y, z_sym = self._enc_front(x)
-        # residual coding first: its stage dispatches overlap the JPEG
-        # coefficient download + JFIF assembly below
-        out = self._residual._compress_from_latents(y, z_sym, size, start)
-        ynp, cbnp, crnp = np.asarray(cy), np.asarray(ccb), np.asarray(ccr)
+        (cy, ccb, ccr), coef_flat, y, z_sym = self._enc_front(x)
+        # residual coding + coefficient download share ONE device sync
+        out, coefs = self._residual._compress_from_latents(
+            y, z_sym, size, start, extra=coef_flat)
+        splits = np.cumsum([int(np.prod(c.shape[1:])) for c in (cy, ccb)])
+        ynp, cbnp, crnp = (
+            part.reshape((-1,) + tuple(src.shape[1:])).astype(np.int16)
+            for part, src in zip(np.split(coefs, splits, axis=1),
+                                 (cy, ccb, ccr)))
         jpeg_buffers: List[bytes] = [
             assemble_jfif(ynp[i], cbnp[i], crnp[i], size[1], size[0], q)
             for i in range(ynp.shape[0])
@@ -191,9 +216,20 @@ class HyresCodec:
         buffers = compressed["jpeg_buffers"]
         planes = [ParsedJpeg(b) for b in buffers]
         p0 = planes[0]
-        cy = jnp.asarray(np.stack([p.coeffs[0] for p in planes]))
-        ccb = jnp.asarray(np.stack([p.coeffs[1] for p in planes]))
-        ccr = jnp.asarray(np.stack([p.coeffs[2] for p in planes]))
+        # ONE host->device upload for all coefficient planes (transfer
+        # latency dominates size over the tunnel), int8 when the values
+        # fit; device-side split/reshape is fused into the decode
+        stacked = [np.stack([p.coeffs[k] for p in planes]) for k in range(3)]
+        flat = np.concatenate([c.reshape(len(planes), -1) for c in stacked],
+                              axis=1)
+        if np.abs(flat).max() <= 127:
+            flat = flat.astype(np.int8)
+        d_flat = jnp.asarray(flat).astype(jnp.int16)
+        n0, n1 = (int(np.prod(stacked[0].shape[1:])),
+                  int(np.prod(stacked[1].shape[1:])))
+        cy = d_flat[:, :n0].reshape(stacked[0].shape)
+        ccb = d_flat[:, n0:n0 + n1].reshape(stacked[1].shape)
+        ccr = d_flat[:, n0 + n1:].reshape(stacked[2].shape)
         jpeg_decoded = decode_with_qtables(
             cy, ccb, ccr, p0.qtables[0], p0.qtables[1], p0.height, p0.width)
 

@@ -120,3 +120,25 @@ def test_various_lane_counts_and_sizes(gauss_tables):
             sym = np.round(rng.normal(0, sigma)).astype(np.int32)
             got, _ = _roundtrip(sym, idx, dev, lanes)
             np.testing.assert_array_equal(got, sym)
+
+
+def test_limb_division_exact():
+    """_div_u32_by_u16 must be exact for every (u32, u16) pair class —
+    the rANS push desyncs on any off-by-one."""
+    import jax.numpy as jnp
+
+    from hyres_tpu.coding.tpu_rans import _div_u32_by_u16
+
+    rng = np.random.default_rng(11)
+    state = rng.integers(0, 1 << 32, 200000, dtype=np.uint64).astype(np.uint32)
+    freq = rng.integers(1, 1 << 16, 200000, dtype=np.uint32)
+    # adversarial corners
+    state[:6] = [0, 1, 0xFFFFFFFF, 0x10000, 0xFFFF, 0x80000000]
+    freq[:6] = [1, 1, 1, 0xFFFF, 2, 3]
+    q, r = jax.jit(_div_u32_by_u16)(
+        jnp.asarray(state), jnp.asarray(freq),
+        1.0 / jnp.asarray(freq).astype(jnp.float32))
+    want_q = (state.astype(np.uint64) // freq).astype(np.uint32)
+    want_r = (state.astype(np.uint64) % freq).astype(np.uint32)
+    np.testing.assert_array_equal(np.asarray(q), want_q)
+    np.testing.assert_array_equal(np.asarray(r), want_r)
