@@ -37,6 +37,12 @@ def parse_args(argv=None):
     p.add_argument("--cuda", action="store_true", help="ignored (auto device)")
     p.add_argument("--profile", type=str, default=None,
                    help="write a jax.profiler trace of the roundtrips here")
+    p.add_argument("--no-refit-quantiles", dest="refit_quantiles",
+                   action="store_false", default=True,
+                   help="skip the closed-form quantile refit applied when "
+                        "loading a raw training checkpoint (the refit makes "
+                        "the baked CDF support exact regardless of how far "
+                        "the aux optimizer converged)")
     return p.parse_args(argv)
 
 
@@ -141,6 +147,9 @@ def main(argv=None):
 
     raw = load_checkpoint(args.checkpoint)
     params = extract_variables(raw)
+    if args.refit_quantiles and not (isinstance(raw, dict) and "tables" in raw):
+        from ..entropy import refit_model_quantiles
+        params = refit_model_quantiles(params)
 
     model, codec = build_codec(args, params)
     if isinstance(raw, dict) and "tables" in raw:

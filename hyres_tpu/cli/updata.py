@@ -26,6 +26,11 @@ def parse_args(argv=None):
     p.add_argument("--N", type=int, default=128)
     p.add_argument("--M", type=int, default=192)
     p.add_argument("--jpeg-quality", type=int, default=1)
+    p.add_argument("--no-refit-quantiles", dest="refit_quantiles",
+                   action="store_false", default=True,
+                   help="skip the closed-form quantile refit before baking "
+                        "(refit makes the CDF integer support exact even "
+                        "when the aux optimizer hasn't converged)")
     return p.parse_args(argv)
 
 
@@ -36,6 +41,9 @@ def main(argv=None):
     from ..train.checkpoint import extract_variables
 
     variables = extract_variables(load_checkpoint(args.filepath))
+    if args.refit_quantiles:
+        from ..entropy import refit_model_quantiles
+        variables = refit_model_quantiles(variables)
     tree = variables["params"]
     eb = (tree.get("residual_model", tree).get("entropy_bottleneck")
           if isinstance(tree, dict) else None)

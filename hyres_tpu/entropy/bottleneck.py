@@ -240,3 +240,22 @@ def build_bottleneck_tables(eb_params: dict, tail_mass: float = 1e-9) -> CdfTabl
 
 def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
+
+
+def refit_model_quantiles(variables: dict) -> dict:
+    """Refit every entropy bottleneck's quantiles in a params pytree.
+
+    Returns a copy with each ``entropy_bottleneck`` leaf's quantiles
+    solved from its density (see refit_quantiles). Used by the
+    deployment bake (cli/updata.py) and inference so real-coded rate
+    never depends on how far the aux optimizer got — with few steps per
+    epoch the quantile SGD lags the moving density by design.
+    """
+    def walk(key, node):
+        if not isinstance(node, dict):
+            return node
+        if key == "entropy_bottleneck" and "quantiles" in node:
+            return {**node, "quantiles": jnp.asarray(refit_quantiles(node))}
+        return {k: walk(k, v) for k, v in node.items()}
+
+    return walk(None, variables)

@@ -99,9 +99,14 @@ def test_inference_consumes_baked_tables(tmp_path):
 
     x = jax.random.uniform(jax.random.key(2), (1, 64, 64, 3))
 
-    baked = CheckerboardCodec(model, params)
+    # artifact flow: params + tables both come from the artifact (updata
+    # refits quantiles before baking, so the raw checkpoint's params
+    # would not match the artifact's tables)
+    baked = CheckerboardCodec(model, {"params": art["params"]})
     baked.install_tables(art["tables"])
-    rebaked = CheckerboardCodec(model, params)
+    # raw-checkpoint flow: inference refits, then bakes (its default)
+    from hyres_tpu.entropy import refit_model_quantiles
+    rebaked = CheckerboardCodec(model, refit_model_quantiles(params))
     rebaked.update(force=True)
 
     comp_b = baked.compress(x)
