@@ -20,6 +20,13 @@ import time
 from pathlib import Path
 
 import jax
+
+# persistent compile cache: first compiles through the TPU tunnel take
+# minutes; cached reruns are seconds
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -156,7 +156,7 @@ def lanes_for(n: int) -> int:
     of a typical plane's payload (the scan's serial latency is what the
     decode critical path pays, ~7 us/step)."""
     lanes = 32
-    while lanes < 256 and n >= lanes * 2048:
+    while lanes < 256 and n >= lanes * 1024:
         lanes *= 2
     return lanes
 
