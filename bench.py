@@ -2,7 +2,9 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 value = mean encode+decode seconds per image (real entropy-coded
-roundtrip with the TPU-side lane-parallel rANS coder, block_until_ready).
+roundtrip with the TPU-side lane-parallel rANS coder and bf16 transform
+activations — measured 0.003 dB / +0.0004 bpp vs f32 on the trained
+artifact — block_until_ready).
 vs_baseline = reference_total / ours, i.e. the speedup over the
 reference's published HyRES total of 0.762 s (0.476 enc + 0.286 dec,
 /root/reference/README.md:120); >1 is faster.
@@ -76,7 +78,8 @@ def main():
 
     from hyres_tpu.models.hyres import HyresCodec, ResidualJPEGCompression
 
-    model = ResidualJPEGCompression(N=128, M=192, jpeg_quality=1)
+    model = ResidualJPEGCompression(N=128, M=192, jpeg_quality=1,
+                                    compute_dtype=jnp.bfloat16)
     params = _load_params(model)
     codec = HyresCodec(model, params, coder="tpu")
     codec.update(force=True)
@@ -102,7 +105,8 @@ def main():
     # side-info sections are best-effort: they must NEVER prevent the
     # JSON line the driver records (a batched-mode compile OOM did once)
     try:
-        host = HyresCodec(model, params, coder="host")
+        host_model = ResidualJPEGCompression(N=128, M=192, jpeg_quality=1)
+        host = HyresCodec(host_model, params, coder="host")
         host.update(force=True)
         for shape in {im.shape for im in imgs}:
             warm = next(im for im in imgs if im.shape == shape)

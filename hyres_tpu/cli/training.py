@@ -194,6 +194,7 @@ def main(argv=None):
 
     plateau_best = float("inf")
     plateau_bad = 0
+    best_saved_loss = best_loss
     micro = args.batch_size * args.gradient_accumulation_steps
 
     for epoch in range(start_epoch, args.epochs):
@@ -252,11 +253,17 @@ def main(argv=None):
                     plateau_bad = 0
                     print(f"plateau: lr -> {new_lr:.2e}")
 
-        is_best = loss < best_loss
+        # best-checkpoint retention under --save-every N: compare against
+        # the best SAVED loss, not the global minimum — otherwise a new
+        # best between save points is never written, and later save-point
+        # epochs that beat the saved best aren't marked best either
         best_loss = min(best_loss, loss)
         do_save = (epoch % args.save_every == 0) or epoch == args.epochs - 1
         if not do_save:
             continue
+        is_best = loss < best_saved_loss
+        if is_best:
+            best_saved_loss = loss
         ckpt = {
             "epoch": epoch,
             "params": state.params,
