@@ -195,7 +195,9 @@ class ElicCodec(CodecBase):
             y_hat_slices.append(self._dec_combine(y_anchor_hat, n_sym, mn_p))
         enc_z = tc.encode_eb(z_sym)
 
+        t_enqueue = time.time() - t_start
         encs, enc_z = jax.device_get((encs, enc_z))  # the single sync
+        t_sync = time.time() - t_start - t_enqueue
         try:
             y_strings = [tc.frames_from_enc(e) for e in encs]
             z_strings = tc.frames_from_enc(enc_z)
@@ -206,7 +208,11 @@ class ElicCodec(CodecBase):
             "shape": (int(z_sym.shape[1]), int(z_sym.shape[2])),
             "size": size,
             "time": time.time() - t_start,
-            "stage_times": {},
+            # the per-stage attribution of the host path (y_enc/z_enc/
+            # z_dec/params, reference elic.py:414-431) does not exist in
+            # single-sync mode: every stage is enqueued async and the one
+            # sync covers all device work
+            "stage_times": {"enqueue": t_enqueue, "sync": t_sync},
         }
 
     def _compress_host_fallback(self, x: jax.Array) -> Dict:
