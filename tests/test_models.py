@@ -238,3 +238,28 @@ def test_tpu_coder_batched_roundtrip(small_model):
     fwd = model.apply(params, x, noisequant=False)
     want = np.clip(np.asarray(fwd["x_hat"]), 0, 1)
     np.testing.assert_allclose(np.asarray(dec["x_hat"]), want, atol=1e-6)
+
+
+def test_hyres_coef_transfer_dtypes():
+    """The JPEG coefficient host-hop is int8 only when the quant tables
+    statically bound |coeff| <= 127; both branches must roundtrip the
+    exact bytes (a clipped coefficient would corrupt the JFIF stream)."""
+    from hyres_tpu.jpeg.pil import PilJpegCodec
+    from hyres_tpu.models.hyres import _coef_fit_int8
+
+    assert _coef_fit_int8(1)        # production quality: huge quant steps
+    assert not _coef_fit_int8(90)   # fine quant steps can exceed int8
+
+    x = jax.random.uniform(jax.random.key(11), (1, 64, 64, 3))
+    for q in (1, 90):
+        model = ResidualJPEGCompression(N=16, M=24, jpeg_quality=q)
+        params = model.init(jax.random.key(0), x, noisequant=True,
+                            rng=jax.random.key(1))
+        codec = HyresCodec(model, params)
+        codec.update(force=True)
+        comp = codec.compress(x)
+        # the JFIF buffer must parse as a valid JPEG (PIL decodes it)
+        dec = PilJpegCodec(q).decompress(comp["jpeg_buffers"])
+        assert dec.shape == x.shape
+        out = codec.decompress(comp)
+        assert np.all(np.isfinite(np.asarray(out["x_hat"])))
