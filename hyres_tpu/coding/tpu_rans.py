@@ -47,19 +47,27 @@ import jax.numpy as jnp
 import numpy as np
 
 RENORM_BASE = np.uint32(1 << 16)
-ESCAPE_MARK = np.int32(1 << 20)
 ESC_MAX = 256          # side-list capacity; more escapes -> host fallback
 DEFAULT_LANES = 256
 Z_LANES = 64
 
 
 class TpuCoderTables(NamedTuple):
-    """Device-resident coding tables for one CdfTables set."""
+    """Device-resident coding tables for one CdfTables set.
+
+    TPU gathers are ~25 ns/element (scalarized) even in bulk, so every
+    PER-SYMBOL table access outside the serial scan uses exact one-hot
+    f32 matmuls over these small row tables instead (a single-nonzero
+    one-hot row sums exactly one product — exact for any value < 2^24).
+    Only the state-dependent in-scan lookup keeps the 65536-slot LUT.
+    """
 
     lut_entry: jax.Array   # (rows * 65536,) u32: freq << 16 | (slot - start)
-    lut_sym: jax.Array     # (rows * 65536,) i32: value, or ESCAPE_MARK
-    enc_entry: jax.Array   # (rows * maxL,) u32: freq << 16 | start
-    row_meta: jax.Array    # (rows,) u32: (offset + 2^15) << 16 | (length - 2)
+    cdf_f32: jax.Array     # (rows, maxL+1) f32 CDF bounds, 2^17 pad
+    off_f32: jax.Array     # (rows,) f32 offset
+    maxv_f32: jax.Array    # (rows,) f32 escape bin index (length - 2)
+    start_f32: jax.Array   # (rows, maxL) f32 bin starts
+    freq_f32: jax.Array    # (rows, maxL) f32 bin freqs (0 past the end)
     cdf: jax.Array         # (rows, maxL) i32 (host-format reference)
     cdf_length: jax.Array  # (rows,) i32
     offset: jax.Array      # (rows,) i32
@@ -73,8 +81,8 @@ def build_device_tables(t) -> TpuCoderTables:
     decode state update needs in ONE gather (the update is
     ``state = freq * (state >> 16) + (slot - start)``, and slot - start
     is a function of the slot, so it can live in the LUT). Symbols are
-    recovered OUTSIDE the scan from lut_sym in one bulk gather — the
-    serial chain carries no symbol work.
+    recovered OUTSIDE the scan, gather-free, by counting CDF bounds —
+    the serial chain carries no symbol work.
     """
     cdf = np.asarray(t.quantized_cdf, np.int64)
     lengths = np.asarray(t.cdf_length, np.int64)
@@ -82,41 +90,43 @@ def build_device_tables(t) -> TpuCoderTables:
     rows = cdf.shape[0]
     slots = np.arange(1 << 16, dtype=np.int64)
     lut_entry = np.empty((rows, 1 << 16), np.uint32)
-    lut_sym = np.empty((rows, 1 << 16), np.int32)
     for r in range(rows):
         bounds = cdf[r, : lengths[r]]          # bounds[0]=0 .. bounds[-1]=2^16
-        maxv = lengths[r] - 2                  # escape bin index
         s = np.searchsorted(bounds, slots, side="right") - 1
         start = bounds[s]
         freq = bounds[s + 1] - start
         assert freq.max() <= 0xFFFF, "degenerate full-range CDF bin"
         lut_entry[r] = ((freq.astype(np.uint32)) << 16) | (
             (slots - start).astype(np.uint32))
-        val = (s + offsets[r]).astype(np.int32)
-        val[s == maxv] = ESCAPE_MARK
-        lut_sym[r] = val
     freqs0 = np.diff(cdf[0, : lengths[0]])
     pad_symbol = int(np.argmax(freqs0[:-1]) + offsets[0])  # skip escape bin
-    # encode-side packed tables: one gather for (freq, start), one for
-    # (offset, escape bin index)
     max_len = cdf.shape[1]
-    enc_entry = np.zeros((rows, max_len), np.uint32)
+    start_f32 = np.zeros((rows, max_len), np.float32)
+    freq_f32 = np.zeros((rows, max_len), np.float32)
+    cdf_f32 = np.full((rows, max_len + 1), float(1 << 17), np.float32)
     for r in range(rows):
         nbins = lengths[r] - 1
-        f = np.diff(cdf[r, : lengths[r]]).astype(np.uint32)
-        enc_entry[r, :nbins] = (f << 16) | cdf[r, :nbins].astype(np.uint32)
-    row_meta = (((offsets + (1 << 15)).astype(np.uint32) << 16)
-                | (lengths - 2).astype(np.uint32))
+        start_f32[r, :nbins] = cdf[r, :nbins]
+        freq_f32[r, :nbins] = np.diff(cdf[r, : lengths[r]])
+        cdf_f32[r, : lengths[r]] = cdf[r, : lengths[r]]
     return TpuCoderTables(
         lut_entry=jnp.asarray(lut_entry.reshape(-1)),
-        lut_sym=jnp.asarray(lut_sym.reshape(-1)),
-        enc_entry=jnp.asarray(enc_entry.reshape(-1)),
-        row_meta=jnp.asarray(row_meta),
+        cdf_f32=jnp.asarray(cdf_f32),
+        off_f32=jnp.asarray(offsets.astype(np.float32)),
+        maxv_f32=jnp.asarray((lengths - 2).astype(np.float32)),
+        start_f32=jnp.asarray(start_f32),
+        freq_f32=jnp.asarray(freq_f32),
         cdf=jnp.asarray(t.quantized_cdf, jnp.int32),
         cdf_length=jnp.asarray(t.cdf_length, jnp.int32),
         offset=jnp.asarray(t.offset, jnp.int32),
         pad_symbol=pad_symbol,
     )
+
+
+def _row_onehot(idx: jax.Array, rows: int) -> jax.Array:
+    """(n,) int32 -> (n, rows) f32 one-hot (feeds exact MXU matmuls)."""
+    return (idx[:, None] == jnp.arange(rows, dtype=idx.dtype)).astype(
+        jnp.float32)
 
 
 def _div_u32_by_u16(state: jax.Array, freq: jax.Array,
@@ -203,23 +213,30 @@ def rans_encode(symbols: jax.Array, indexes: jax.Array,
     idx_tl = _to_tl(indexes.astype(jnp.int32), T, lanes, 0)
 
     max_len = tables.cdf.shape[1]
+    rows = tables.cdf.shape[0]
 
     # ALL table lookups hoisted out of the serial chain: the CDF entry of
     # every symbol is known before the scan (it depends only on symbol and
-    # row, never on the rANS state), so (start, freq) for the whole plane
-    # is one bulk vectorized gather — the scan body is pure arithmetic.
-    # (A gather inside the scan costs ~25 ns/lane-element of *serial*
-    # latency per step; hoisted, the same gather is throughput-bound.)
-    meta = jnp.take(tables.row_meta, idx_tl)
-    off = (meta >> 16).astype(jnp.int32) - (1 << 15)
-    maxv = (meta & 0xFFFF).astype(jnp.int32)
-    v = sym_tl - off
+    # row, never on the rANS state) — the scan body is pure arithmetic.
+    # The bulk lookups themselves are exact one-hot f32 matmuls, not
+    # gathers (TPU gathers run ~25 ns/element even in bulk; the MXU does
+    # the same lookup traffic-bound). Every value involved is an integer
+    # < 2^17, exactly representable in f32, and a one-hot row sums
+    # exactly one product, so the results are exact (asserted in
+    # tests/test_tpu_rans.py::test_onehot_lookup_exact).
+    A = _row_onehot(idx_tl.reshape(-1), rows)            # (n', rows)
+    off = (A @ tables.off_f32).reshape(T, lanes)
+    maxv = (A @ tables.maxv_f32).reshape(T, lanes)
+    v = sym_tl.astype(jnp.float32) - off
     esc_tl = (v < 0) | (v >= maxv)
-    vv = jnp.where(esc_tl, maxv, v)
-    entry = jnp.take(tables.enc_entry, idx_tl * max_len + vv)
-    start = entry & 0xFFFF
-    freq = entry >> 16
-    rcp = 1.0 / freq.astype(jnp.float32)
+    vv = jnp.where(esc_tl, maxv, v)                      # f32 bin index
+    binoh = (vv.reshape(-1, 1) ==
+             jnp.arange(max_len, dtype=jnp.float32)).astype(jnp.float32)
+    start = jnp.sum((A @ tables.start_f32) * binoh, -1).reshape(T, lanes)
+    freq_f = jnp.sum((A @ tables.freq_f32) * binoh, -1).reshape(T, lanes)
+    start = start.astype(jnp.uint32)
+    freq = freq_f.astype(jnp.uint32)
+    rcp = 1.0 / freq_f
 
     def step(state, xs):
         start, freq, rcp = xs
@@ -302,9 +319,15 @@ def rans_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
     init = (states.astype(jnp.uint32), jnp.uint32(0))
     _, slot_tl = jax.lax.scan(step, init, base_tl)
 
-    # bulk symbol recovery (fully parallel, throughput-bound)
-    sym_tl = jnp.take(tables.lut_sym, base_tl | slot_tl.astype(jnp.uint32))
-    sym_flat = sym_tl.reshape(-1)
+    # bulk symbol recovery, gather-free: the bin index is how many CDF
+    # bounds lie at or below the slot (the row's bounds come from one
+    # exact one-hot matmul; comparisons/sums are exact in f32)
+    rows = tables.cdf.shape[0]
+    A = _row_onehot(idx_tl.reshape(-1), rows)
+    bounds = A @ tables.cdf_f32                       # (n', maxL+1)
+    slot_f = slot_tl.reshape(-1, 1).astype(jnp.float32)
+    v = jnp.sum((bounds <= slot_f).astype(jnp.float32), -1) - 1.0
+    sym_flat = (v + A @ tables.off_f32).astype(jnp.int32)
     # substitute escaped values (side list; padding positions drop)
     sym_flat = sym_flat.at[esc_pos].set(esc_val, mode="drop")
     return sym_flat[:n]

@@ -142,3 +142,40 @@ def test_limb_division_exact():
     want_r = (state.astype(np.uint64) % freq).astype(np.uint32)
     np.testing.assert_array_equal(np.asarray(q), want_q)
     np.testing.assert_array_equal(np.asarray(r), want_r)
+
+
+def test_onehot_lookup_exact(gauss_tables):
+    """The one-hot f32 matmul lookups must equal direct indexing for
+    EVERY (row, bin) — any rounding desyncs the coder."""
+    import jax.numpy as jnp
+
+    from hyres_tpu.coding import tpu_rans
+
+    host, dev = gauss_tables
+    rows, L = dev.cdf.shape
+    idx = np.repeat(np.arange(rows), L).astype(np.int32)
+    bins = np.tile(np.arange(L), rows).astype(np.float32)
+
+    A = tpu_rans._row_onehot(jnp.asarray(idx), rows)
+    np.testing.assert_array_equal(
+        np.asarray(A @ dev.off_f32), np.asarray(dev.offset, np.float32)[idx])
+    binoh = (jnp.asarray(bins)[:, None] ==
+             jnp.arange(L, dtype=jnp.float32)).astype(jnp.float32)
+    start = np.asarray(jnp.sum((A @ dev.start_f32) * binoh, -1))
+    freq = np.asarray(jnp.sum((A @ dev.freq_f32) * binoh, -1))
+    np.testing.assert_array_equal(
+        start, np.asarray(dev.start_f32).reshape(-1))
+    np.testing.assert_array_equal(
+        freq, np.asarray(dev.freq_f32).reshape(-1))
+    # CDF-bounds symbol recovery: every in-row slot maps to its bin
+    cdf = np.asarray(host.quantized_cdf, np.int64)
+    lengths = np.asarray(host.cdf_length)
+    r = rows // 2
+    slots = np.arange(0, 1 << 16, 97, dtype=np.int64)
+    want = np.searchsorted(cdf[r, : lengths[r]], slots, side="right") - 1
+    Ar = tpu_rans._row_onehot(jnp.full((len(slots),), r, jnp.int32), rows)
+    bounds = Ar @ dev.cdf_f32
+    got = np.asarray(jnp.sum(
+        (bounds <= jnp.asarray(slots, jnp.float32)[:, None]).astype(
+            jnp.float32), -1) - 1.0)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
