@@ -129,6 +129,16 @@ def _row_onehot(idx: jax.Array, rows: int) -> jax.Array:
         jnp.float32)
 
 
+def _lookup(A: jax.Array, table: jax.Array) -> jax.Array:
+    """Exact one-hot lookup matmul.
+
+    MUST run at Precision.HIGHEST: TPU f32 matmuls default to single-pass
+    bf16, which rounds table values > 2^8 — the CPU-exact one-hot trick
+    silently corrupts on the MXU otherwise (caught as a mass host-coder
+    fallback: every symbol 'escaped')."""
+    return jnp.matmul(A, table, precision=jax.lax.Precision.HIGHEST)
+
+
 def _div_u32_by_u16(state: jax.Array, freq: jax.Array,
                     rcp: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Exact (floor(state / freq), state % freq) for u32 state, u16 freq.
@@ -225,15 +235,15 @@ def rans_encode(symbols: jax.Array, indexes: jax.Array,
     # exactly one product, so the results are exact (asserted in
     # tests/test_tpu_rans.py::test_onehot_lookup_exact).
     A = _row_onehot(idx_tl.reshape(-1), rows)            # (n', rows)
-    off = (A @ tables.off_f32).reshape(T, lanes)
-    maxv = (A @ tables.maxv_f32).reshape(T, lanes)
+    off = _lookup(A, tables.off_f32).reshape(T, lanes)
+    maxv = _lookup(A, tables.maxv_f32).reshape(T, lanes)
     v = sym_tl.astype(jnp.float32) - off
     esc_tl = (v < 0) | (v >= maxv)
     vv = jnp.where(esc_tl, maxv, v)                      # f32 bin index
     binoh = (vv.reshape(-1, 1) ==
              jnp.arange(max_len, dtype=jnp.float32)).astype(jnp.float32)
-    start = jnp.sum((A @ tables.start_f32) * binoh, -1).reshape(T, lanes)
-    freq_f = jnp.sum((A @ tables.freq_f32) * binoh, -1).reshape(T, lanes)
+    start = jnp.sum(_lookup(A, tables.start_f32) * binoh, -1).reshape(T, lanes)
+    freq_f = jnp.sum(_lookup(A, tables.freq_f32) * binoh, -1).reshape(T, lanes)
     start = start.astype(jnp.uint32)
     freq = freq_f.astype(jnp.uint32)
     rcp = 1.0 / freq_f
@@ -309,7 +319,8 @@ def rans_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
         # one gather; symbols are recovered after the scan
         state = (entry >> 16) * (state >> 16) + (entry & 0xFFFF)
         need = (state < RENORM_BASE).astype(jnp.float32)
-        rankx = need @ prefix_m
+        rankx = jnp.matmul(need, prefix_m,
+                           precision=jax.lax.Precision.HIGHEST)
         rank = rankx[:lanes].astype(jnp.uint32)
         read = jnp.take(stream, ptr + rank, mode="clip").astype(jnp.uint32)
         state = jnp.where(need > 0, (state << 16) | read, state)
@@ -324,10 +335,10 @@ def rans_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
     # exact one-hot matmul; comparisons/sums are exact in f32)
     rows = tables.cdf.shape[0]
     A = _row_onehot(idx_tl.reshape(-1), rows)
-    bounds = A @ tables.cdf_f32                       # (n', maxL+1)
+    bounds = _lookup(A, tables.cdf_f32)               # (n', maxL+1)
     slot_f = slot_tl.reshape(-1, 1).astype(jnp.float32)
     v = jnp.sum((bounds <= slot_f).astype(jnp.float32), -1) - 1.0
-    sym_flat = (v + A @ tables.off_f32).astype(jnp.int32)
+    sym_flat = (v + _lookup(A, tables.off_f32)).astype(jnp.int32)
     # substitute escaped values (side list; padding positions drop)
     sym_flat = sym_flat.at[esc_pos].set(esc_val, mode="drop")
     return sym_flat[:n]

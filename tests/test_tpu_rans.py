@@ -158,11 +158,12 @@ def test_onehot_lookup_exact(gauss_tables):
 
     A = tpu_rans._row_onehot(jnp.asarray(idx), rows)
     np.testing.assert_array_equal(
-        np.asarray(A @ dev.off_f32), np.asarray(dev.offset, np.float32)[idx])
+        np.asarray(tpu_rans._lookup(A, dev.off_f32)),
+        np.asarray(dev.offset, np.float32)[idx])
     binoh = (jnp.asarray(bins)[:, None] ==
              jnp.arange(L, dtype=jnp.float32)).astype(jnp.float32)
-    start = np.asarray(jnp.sum((A @ dev.start_f32) * binoh, -1))
-    freq = np.asarray(jnp.sum((A @ dev.freq_f32) * binoh, -1))
+    start = np.asarray(jnp.sum(tpu_rans._lookup(A, dev.start_f32) * binoh, -1))
+    freq = np.asarray(jnp.sum(tpu_rans._lookup(A, dev.freq_f32) * binoh, -1))
     np.testing.assert_array_equal(
         start, np.asarray(dev.start_f32).reshape(-1))
     np.testing.assert_array_equal(
@@ -174,7 +175,7 @@ def test_onehot_lookup_exact(gauss_tables):
     slots = np.arange(0, 1 << 16, 97, dtype=np.int64)
     want = np.searchsorted(cdf[r, : lengths[r]], slots, side="right") - 1
     Ar = tpu_rans._row_onehot(jnp.full((len(slots),), r, jnp.int32), rows)
-    bounds = Ar @ dev.cdf_f32
+    bounds = tpu_rans._lookup(Ar, dev.cdf_f32)
     got = np.asarray(jnp.sum(
         (bounds <= jnp.asarray(slots, jnp.float32)[:, None]).astype(
             jnp.float32), -1) - 1.0)
