@@ -157,7 +157,9 @@ def main(argv=None):
         else:
             plateau_bad += 1
             if plateau_bad > 5:
-                lr *= 0.3
+                # floored like the main CLI's --min-lr: unfloored decay
+                # reaches numerical zero within a few hundred short epochs
+                lr = max(lr * 0.3, 1e-6)
                 opt_state.inner_states["train"].inner_state.hyperparams[
                     "learning_rate"] = jnp.asarray(lr)
                 plateau_bad = 0
