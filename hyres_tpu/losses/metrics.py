@@ -36,11 +36,17 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 
 def _filter2d(x: jax.Array, win: jax.Array) -> jax.Array:
-    """Depthwise valid conv of NHWC with a 2D window."""
+    """Depthwise valid conv of NHWC with a 2D window.
+
+    Precision.HIGHEST is load-bearing: TPU f32 convs default to bf16
+    passes, and the E[x^2] - mu^2 variance cancellation then produces
+    sign-random variances on flat regions (measured: MS-SSIM of a flat
+    -white Kodak image collapsed to ~0 on TPU while exact on CPU)."""
     C = x.shape[-1]
     k = win[:, :, None, None] * jnp.eye(C)[None, None]
     return jax.lax.conv_general_dilated(
-        x, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _ssim_components(x, y, win, data_range=1.0):
