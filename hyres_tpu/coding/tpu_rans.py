@@ -188,12 +188,18 @@ def plane_geometry(n: int, lanes: int) -> Tuple[int, int, int]:
 
 
 def stream_cap(n: int, lanes: int) -> int:
-    """Renorm-stream buffer entries: average 4 bits/symbol. Trained-stat
-    planes run 2-3 bits/symbol; a plane that exceeds the cap overflows at
-    framing time and the batch falls back to the host coder (same path as
-    escape-list overflow). Capping cuts the device->host stream transfer
-    4x vs the worst-case buffer."""
+    """Renorm-stream buffer entries.
+
+    Large planes get an average-4-bits/symbol buffer (trained-stat
+    planes run 2-3 bits/symbol; overflow at framing time falls back to
+    the host coder like escape-list overflow) — this cuts the
+    device->host stream transfer 4x. Small planes (<= 64k symbols, e.g.
+    hyper-latents) keep the full worst-case buffer: their transfer is
+    trivial and undertrained hyper stats can legitimately need
+    >4 bits/symbol."""
     _, padded, _ = plane_geometry(n, lanes)
+    if n <= 65536:
+        return padded
     return max(4096, padded // 4)
 
 
