@@ -370,11 +370,21 @@ def frame_plane(states: np.ndarray, stream: np.ndarray, n_renorm: int,
     lanes = states.shape[0]
     lanes_log2 = int(lanes).bit_length() - 1
     assert 1 << lanes_log2 == lanes
-    if n_esc > ESC_MAX:
+    # n_esc rides a ONE-BYTE header field: >= 256 (including exactly 256,
+    # which the side list could hold) must overflow to the host coder,
+    # never reach bytes() (which would raise ValueError past the codecs'
+    # OverflowError fallbacks)
+    if n_esc >= min(ESC_MAX + 1, 256):
         raise OverflowError(f"{n_esc} escapes exceed side-list cap {ESC_MAX}")
     if n_renorm > stream.shape[0]:
         raise OverflowError(
             f"{n_renorm} renorm chunks exceed the stream cap {stream.shape[0]}")
+    for i in range(int(n_esc)):
+        # escape values are framed as i16; anything wider must fall back
+        # (symbols are clipped to +/-32000 upstream, so this is a guard
+        # against misuse, not a hot path)
+        if not -32768 <= int(esc_val[i]) <= 32767:
+            raise OverflowError(f"escape value {int(esc_val[i])} exceeds i16")
     head = (bytes([TPU_MAGIC | lanes_log2, int(n_esc)])
             + int(n_renorm).to_bytes(4, "little"))
     body = (np.asarray(states, "<u4").tobytes()

@@ -148,6 +148,11 @@ class Cheng2020Codec(CodecBase):
         if (self.tpu_coder is not None and strings[0]
                 and not isinstance(strings[0][0], (bytes, bytearray))):
             return self._decompress_tpu(strings, shape, size)
+        from ..coding import tpu_rans
+        if strings[1] and tpu_rans.is_tpu_frame(strings[1][0]):
+            raise ValueError(
+                "payload is TPU-coder framed but this codec decodes with "
+                "the host coder; construct the codec with coder='tpu'")
         start = time.time()
         z_sym = narrow_symbols_i16(self._eb_decode(strings[1], shape))
         hyper, a_idx, ma_p = self._dec_anchor(jnp.asarray(z_sym))

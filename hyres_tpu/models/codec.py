@@ -436,6 +436,10 @@ class CheckerboardCodec(CodecBase):
                if self.tpu_coder is not None else None)
         if tpu is not None:
             return tpu
+        if strings[1] and tpu_rans.is_tpu_frame(strings[1][0]):
+            raise ValueError(
+                "payload is TPU-coder framed but this codec decodes with "
+                "the host coder; construct the codec with coder='tpu'")
         B = len(strings[1])
         z_sym = narrow_symbols_i16(self._eb_decode(strings[1], shape))
         y_zero = jnp.zeros((B, shape[0] * 4, shape[1] * 4, self.model.M),

@@ -202,7 +202,9 @@ class ElicCodec(CodecBase):
             y_strings = [tc.frames_from_enc(e) for e in encs]
             z_strings = tc.frames_from_enc(enc_z)
         except OverflowError:
-            return self._compress_host_fallback(x)
+            # x is already padded here; the host path would recompute
+            # "size" from the padded shape, so the true size is forced
+            return self._compress_host_fallback(x, size)
         return {
             "strings": [y_strings, z_strings],
             "shape": (int(z_sym.shape[1]), int(z_sym.shape[2])),
@@ -215,10 +217,13 @@ class ElicCodec(CodecBase):
             "stage_times": {"enqueue": t_enqueue, "sync": t_sync},
         }
 
-    def _compress_host_fallback(self, x: jax.Array) -> Dict:
+    def _compress_host_fallback(self, x: jax.Array,
+                                size: Tuple[int, int]) -> Dict:
         saved, self.tpu_coder = self.tpu_coder, None
         try:
-            return self.compress(x)
+            out = self.compress(x)
+            out["size"] = size  # x may already be padded (see caller)
+            return out
         finally:
             self.tpu_coder = saved
 
@@ -228,6 +233,11 @@ class ElicCodec(CodecBase):
             out = self._decompress_tpu(strings, shape, size)
             if out is not None:
                 return out
+        from ..coding import tpu_rans
+        if strings[1] and tpu_rans.is_tpu_frame(strings[1][0]):
+            raise ValueError(
+                "payload is TPU-coder framed but this codec decodes with "
+                "the host coder; construct the codec with coder='tpu'")
         t_start = time.time()
         z_sym = narrow_symbols_i16(self._eb_decode(strings[1], shape))
         means, scales = self._dec_hyper(jnp.asarray(z_sym))

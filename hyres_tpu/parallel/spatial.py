@@ -11,13 +11,22 @@ extension; NOTES roadmap #6).
 This is a shard_map program: the input is replicated (one image is a few
 MB — far cheaper than the activations it avoids), each device slices its
 strip + halo by its mesh coordinate, runs the full eval forward, and
-crops the valid rows. With the halo covering the model's receptive
-field, the result matches the unsharded forward except for boundary
-ringing in the entropy-model estimates (the transforms are exact).
+crops the valid rows.
+
+CONTRACT (precise): this is a RECONSTRUCTION-SERVING path, not a codec
+path — strips do not produce (or consume) the single-image bitstream,
+and the returned bits are telemetry (valid-row likelihood bits), not a
+byte count. The output approximates the unsharded eval forward: the conv
+transforms are exact given the halo, but each strip quantizes its
+latents against ITS OWN entropy-model estimates, whose receptive field
+near strip boundaries differs from the full image's, so individual
+latent roundings may flip within ~halo of a boundary. Guarantee tested
+(tests/test_parallel_inference.py): interior rows bit-match a haloed
+single-strip forward; the full image differs from the unsharded forward
+by <1e-3 mean abs err with flips confined to boundary bands.
 
 Coding (compress/decompress) over strips is the tiled path
-(models/tiled.py) — strips there are independent codec units; this
-module is the latency path for serving reconstructions.
+(models/tiled.py) — strips there are independent codec units.
 """
 
 from __future__ import annotations
@@ -52,8 +61,19 @@ def make_spatial_eval(model, mesh: Mesh, halo: int = 64):
         out = model.apply(params, tile, noisequant=False)
         off = i * strip - start
         x_hat = jax.lax.dynamic_slice_in_dim(out["x_hat"], off, strip, axis=1)
-        # rate telemetry: likelihood bits of this strip's latents
-        bits = sum(-jnp.sum(jnp.log2(l)) for l in out["likelihoods"].values())
+        # rate telemetry: likelihood bits of this strip's VALID latent rows
+        # only — halo rows are evaluated on 2-3 devices, so summing the
+        # full tile would overcount the rate as halo/strip grows. off and
+        # strip are multiples of 64, which every latent stride divides.
+        tile_h = strip + 2 * halo
+
+        def _valid_bits(l):
+            stride = tile_h // l.shape[1]
+            v = jax.lax.dynamic_slice_in_dim(
+                l, off // stride, strip // stride, axis=1)
+            return -jnp.sum(jnp.log2(v))
+
+        bits = sum(_valid_bits(l) for l in out["likelihoods"].values())
         return x_hat, jax.lax.psum(bits, axis)
 
     @functools.partial(jax.jit, static_argnums=())

@@ -263,3 +263,18 @@ def test_hyres_coef_transfer_dtypes():
         assert dec.shape == x.shape
         out = codec.decompress(comp)
         assert np.all(np.isfinite(np.asarray(out["x_hat"])))
+
+
+def test_host_codec_rejects_tpu_framed_payload(small_model):
+    """A codec constructed with coder='host' must raise a clear error on a
+    TPU-framed payload instead of feeding TPU frames to the host rANS
+    decoder (ADVICE r2)."""
+    model, params = small_model
+    x = jax.random.uniform(jax.random.key(9), (1, 64, 64, 3))
+    tpu = CheckerboardCodec(model, params, coder="tpu")
+    tpu.update(force=True)
+    comp = tpu.compress(x)
+    host = CheckerboardCodec(model, params, coder="host")
+    host.update(force=True)
+    with pytest.raises(ValueError, match="TPU-coder framed"):
+        host.decompress(comp["strings"], comp["shape"])

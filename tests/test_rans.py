@@ -90,3 +90,34 @@ def test_pmf_to_quantized_cdf_properties(rng_np):
         cdf = pmf_to_quantized_cdf(pmf)
         assert cdf[0] == 0 and cdf[-1] == 1 << 16
         assert np.all(np.diff(cdf) >= 1)  # every bin has nonzero width
+
+
+def test_chunk_framing_portable_across_core_counts(rng_np, monkeypatch):
+    """Streams framed with multi-chunk splitting (many-core host) must
+    decode on a host capped to 1 chunk, and vice versa — the framing is
+    self-describing, so _MAX_CHUNKS only affects ENCODE-side splitting
+    (ADVICE r2 / VERDICT r2 weak #8, models/codec.py:68-116)."""
+    from hyres_tpu.models import codec as mcodec
+    from hyres_tpu.entropy import build_gaussian_tables, get_scale_table
+
+    t = build_gaussian_tables(get_scale_table())
+    n = mcodec._CHUNK_SYMS * 3 + 17  # big enough for multi-chunk framing
+    idx = rng_np.integers(0, 64, n).astype(np.int32)
+    sigma = np.asarray(get_scale_table())[idx]
+    sym = np.round(rng_np.normal(0, sigma)).astype(np.int32).reshape(1, -1)
+    idx = idx.reshape(1, -1)
+
+    monkeypatch.setattr(mcodec, "_MAX_CHUNKS", 4)
+    multi = mcodec._encode_planes(sym, idx, t)
+    assert multi[0][0] >= 3  # header chunk count: actually multi-chunk
+    monkeypatch.setattr(mcodec, "_MAX_CHUNKS", 1)
+    single = mcodec._encode_planes(sym, idx, t)
+    assert single[0][0] == 1
+
+    # decode each framing under the OPPOSITE encode-side cap
+    monkeypatch.setattr(mcodec, "_MAX_CHUNKS", 1)
+    np.testing.assert_array_equal(
+        mcodec._decode_planes(multi, idx, t)[0], sym[0])
+    monkeypatch.setattr(mcodec, "_MAX_CHUNKS", 4)
+    np.testing.assert_array_equal(
+        mcodec._decode_planes(single, idx, t)[0], sym[0])

@@ -180,3 +180,32 @@ def test_onehot_lookup_exact(gauss_tables):
         (bounds <= jnp.asarray(slots, jnp.float32)[:, None]).astype(
             jnp.float32), -1) - 1.0)
     np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_escape_count_exactly_256_overflows(gauss_tables):
+    """n_esc == 256 fits the side list but NOT the one-byte header field:
+    it must raise OverflowError (host-coder fallback), never ValueError
+    (ADVICE r2, frame_plane header)."""
+    _, dev = gauss_tables
+    n = 4096
+    idx = np.zeros(n, np.int32)
+    sym = np.zeros(n, np.int32)
+    sym[:256] = 20000  # exactly 256 escapes
+    enc = tpu_rans.rans_encode(jnp.asarray(sym), jnp.asarray(idx), dev, 64)
+    assert int(enc["n_esc"]) == 256
+    with pytest.raises(OverflowError):
+        tpu_rans.frame_plane(
+            np.asarray(enc["states"]), np.asarray(enc["stream"]),
+            int(enc["n_renorm"]), np.asarray(enc["esc_pos"]),
+            np.asarray(enc["esc_val"]), int(enc["n_esc"]))
+
+
+def test_escape_value_beyond_i16_overflows():
+    """Escape values are framed as i16; wider values must raise
+    OverflowError at framing, not silently truncate (ADVICE r2)."""
+    states = np.full(4, 1 << 16, np.uint32)
+    stream = np.zeros(16, np.uint16)
+    esc_pos = np.array([0], np.int32)
+    esc_val = np.array([40000], np.int32)
+    with pytest.raises(OverflowError):
+        tpu_rans.frame_plane(states, stream, 0, esc_pos, esc_val, 1)
