@@ -170,6 +170,18 @@ def _div_u32_by_u16(state: jax.Array, freq: jax.Array,
     return q, r
 
 
+def _prefix_matrix(lanes: int) -> jax.Array:
+    """Exclusive prefix-sum over the lane renorm mask as an f32 matvec:
+    one MXU pass (~us) instead of XLA's serial cumsum lowering
+    (~7 us/step measured). Exact: counts <= lanes << 2^24. Last column
+    accumulates the total for the stream-pointer bump."""
+    prefix = np.zeros((lanes, lanes + 1), np.float32)
+    for i in range(lanes):
+        prefix[i, i + 1:] = 1.0  # strictly-upper: rank[j] = sum_{i<j} need[i]
+    prefix[:, lanes] = 1.0
+    return jnp.asarray(prefix)
+
+
 def lanes_for(n: int) -> int:
     """Lane count for an n-symbol plane: enough parallelism to keep the
     scan short, few enough that the ~2 net B/lane state flush stays ~1%
@@ -214,43 +226,16 @@ def _to_tl(flat: jax.Array, T: int, lanes: int, pad_value) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def rans_encode(symbols: jax.Array, indexes: jax.Array,
-                tables: TpuCoderTables, lanes: int):
-    """Encode a flat (n,) int32 symbol plane against (n,) int32 CDF rows.
+def _encode_scan_core(sym_tl: jax.Array, start: jax.Array, freq_f: jax.Array,
+                      esc_tl: jax.Array, lanes: int, n: int):
+    """Shared reverse encode scan + stream compaction.
 
-    Returns dict of device arrays:
-      states (lanes,) u32, emit (T*lanes,) u16 COMPACTED renorm stream,
-      n_renorm scalar i32, esc_pos (ESC_MAX,) i32 (= T*lanes pad),
-      esc_val (ESC_MAX,) i32, n_esc scalar i32.
-    """
-    n = symbols.shape[0]
-    T, padded, _ = plane_geometry(n, lanes)
-    sym_tl = _to_tl(symbols.astype(jnp.int32), T, lanes, tables.pad_symbol)
-    idx_tl = _to_tl(indexes.astype(jnp.int32), T, lanes, 0)
-
-    max_len = tables.cdf.shape[1]
-    rows = tables.cdf.shape[0]
-
-    # ALL table lookups hoisted out of the serial chain: the CDF entry of
-    # every symbol is known before the scan (it depends only on symbol and
-    # row, never on the rANS state) — the scan body is pure arithmetic.
-    # The bulk lookups themselves are exact one-hot f32 matmuls, not
-    # gathers (TPU gathers run ~25 ns/element even in bulk; the MXU does
-    # the same lookup traffic-bound). Every value involved is an integer
-    # < 2^17, exactly representable in f32, and a one-hot row sums
-    # exactly one product, so the results are exact (asserted in
-    # tests/test_tpu_rans.py::test_onehot_lookup_exact).
-    A = _row_onehot(idx_tl.reshape(-1), rows)            # (n', rows)
-    off = _lookup(A, tables.off_f32).reshape(T, lanes)
-    maxv = _lookup(A, tables.maxv_f32).reshape(T, lanes)
-    v = sym_tl.astype(jnp.float32) - off
-    esc_tl = (v < 0) | (v >= maxv)
-    vv = jnp.where(esc_tl, maxv, v)                      # f32 bin index
-    binoh = (vv.reshape(-1, 1) ==
-             jnp.arange(max_len, dtype=jnp.float32)).astype(jnp.float32)
-    start = jnp.sum(_lookup(A, tables.start_f32) * binoh, -1).reshape(T, lanes)
-    freq_f = jnp.sum(_lookup(A, tables.freq_f32) * binoh, -1).reshape(T, lanes)
-    start = start.astype(jnp.uint32)
+    sym_tl (T, lanes) i32, start (T, lanes) u32, freq_f (T, lanes) f32
+    (integer-valued), esc_tl (T, lanes) bool. The scan body is pure
+    arithmetic: every per-symbol quantity is precomputed (CDF entries
+    depend only on symbol and row, never on the rANS state)."""
+    T = sym_tl.shape[0]
+    padded = T * lanes
     freq = freq_f.astype(jnp.uint32)
     rcp = 1.0 / freq_f
 
@@ -289,6 +274,51 @@ def rans_encode(symbols: jax.Array, indexes: jax.Array,
             "n_esc": n_esc}
 
 
+def rans_encode(symbols: jax.Array, indexes: jax.Array,
+                tables: TpuCoderTables, lanes: int):
+    """Encode a flat (n,) int32 symbol plane against (n,) int32 CDF rows.
+
+    Returns dict of device arrays:
+      states (lanes,) u32, emit (T*lanes,) u16 COMPACTED renorm stream,
+      n_renorm scalar i32, esc_pos (ESC_MAX,) i32 (= T*lanes pad),
+      esc_val (ESC_MAX,) i32, n_esc scalar i32.
+    """
+    n = symbols.shape[0]
+    T, padded, _ = plane_geometry(n, lanes)
+    sym_tl = _to_tl(symbols.astype(jnp.int32), T, lanes, tables.pad_symbol)
+    idx_tl = _to_tl(indexes.astype(jnp.int32), T, lanes, 0)
+
+    max_len = tables.cdf.shape[1]
+    rows = tables.cdf.shape[0]
+
+    # ALL table lookups hoisted out of the serial chain: the CDF entry of
+    # every symbol is known before the scan (it depends only on symbol and
+    # row, never on the rANS state) — the scan body is pure arithmetic.
+    # The bulk lookups themselves are exact one-hot f32 matmuls, not
+    # gathers (TPU gathers run ~25 ns/element even in bulk; the MXU does
+    # the same lookup traffic-bound). Every value involved is an integer
+    # < 2^17, exactly representable in f32, and a one-hot row sums
+    # exactly one product, so the results are exact (asserted in
+    # tests/test_tpu_rans.py::test_onehot_lookup_exact).
+    #
+    # NOTE: for per-channel (factorized-prior) tables max_len is small and
+    # this is cheap. For the 64x3133 gaussian tables the (n, max_len)
+    # intermediates below are why gaussian planes use the table-free
+    # analytic coder (gauss_encode/gauss_decode) instead.
+    A = _row_onehot(idx_tl.reshape(-1), rows)            # (n', rows)
+    off = _lookup(A, tables.off_f32).reshape(T, lanes)
+    maxv = _lookup(A, tables.maxv_f32).reshape(T, lanes)
+    v = sym_tl.astype(jnp.float32) - off
+    esc_tl = (v < 0) | (v >= maxv)
+    vv = jnp.where(esc_tl, maxv, v)                      # f32 bin index
+    binoh = (vv.reshape(-1, 1) ==
+             jnp.arange(max_len, dtype=jnp.float32)).astype(jnp.float32)
+    start = jnp.sum(_lookup(A, tables.start_f32) * binoh, -1).reshape(T, lanes)
+    freq_f = jnp.sum(_lookup(A, tables.freq_f32) * binoh, -1).reshape(T, lanes)
+    return _encode_scan_core(sym_tl, start.astype(jnp.uint32), freq_f,
+                             esc_tl, lanes, n)
+
+
 # ---------------------------------------------------------------------------
 # decode (forward scan) — traceable, call inside jit
 # ---------------------------------------------------------------------------
@@ -307,15 +337,7 @@ def rans_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
     idx_tl = _to_tl(indexes.astype(jnp.int32), T, lanes, 0)
     base_tl = idx_tl.astype(jnp.uint32) << 16  # LUT row base, outside scan
 
-    # exclusive prefix-sum over the lane renorm mask as an f32
-    # matvec: one MXU pass (~us) instead of XLA's serial cumsum
-    # lowering (~7 us/step measured). Exact: counts <= lanes << 2^24.
-    # Last column accumulates the total for the ptr bump.
-    prefix = np.zeros((lanes, lanes + 1), np.float32)
-    for i in range(lanes):
-        prefix[i, i + 1:] = 1.0  # strictly-upper: rank[j] = sum_{i<j} need[i]
-    prefix[:, lanes] = 1.0
-    prefix_m = jnp.asarray(prefix)
+    prefix_m = _prefix_matrix(lanes)
 
     def step(carry, base):
         state, ptr = carry
@@ -345,6 +367,179 @@ def rans_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
     slot_f = slot_tl.reshape(-1, 1).astype(jnp.float32)
     v = jnp.sum((bounds <= slot_f).astype(jnp.float32), -1) - 1.0
     sym_flat = (v + _lookup(A, tables.off_f32)).astype(jnp.int32)
+    # substitute escaped values (side list; padding positions drop)
+    sym_flat = sym_flat.at[esc_pos].set(esc_val, mode="drop")
+    return sym_flat[:n]
+
+
+# ---------------------------------------------------------------------------
+# analytic gaussian coder (table-free; y planes)
+# ---------------------------------------------------------------------------
+#
+# The scale-table CDFs are 64 rows x up to 3133 bins: coding y planes
+# against them with the one-hot trick materializes (n, 3133) f32
+# intermediates (~1.8 GB for a Kodak y plane, ~15 GB at batch 8 — the
+# round-2 batched-throughput regression), and the in-scan 65536-slot LUT
+# gather is the decode latency floor (~25 ns/lane-element serialized).
+# But the gaussian CDF is an ANALYTIC function of (bin, sigma): instead
+# of baking tables, compute the quantized CDF bounds on the fly —
+#
+#   bound(v) = clip(floor(B * G(v)), v, B - L + v),  bound(0)=0, bound(L)=B
+#   G(v) = (1-eps) * (Phi((v-c-0.5)/sigma) - Phi_lo) / den  +  eps * v/L
+#
+# with B = 65504 value slots, the top 32 slots an escape bin, c = support
+# half-width (SUPPORT_SIGMAS sigmas), L = 2c+1 bins, and eps sized so the
+# pre-floor gap between consecutive bounds is >= EPS_MARGIN (every bin
+# keeps freq >= 1 despite f32 rounding; the clip additionally pins
+# bound(v) inside [v, B-L+v], which preserves strict monotonicity even if
+# floor lands short). Encode needs bound(v), bound(v+1) per symbol — pure
+# elementwise math, no tables. Decode inverts slot -> v by BISECTION on
+# bound inside the scan (12 erf evaluations, all vectorized across lanes)
+# — no gather anywhere, so scan steps are pure VPU work and batching
+# amortizes instead of scaling the gather cost.
+#
+# Exactness contract: encoder and decoder evaluate _gauss_bound through
+# the same jaxpr with the same f32 row parameters; XLA's f32 elementwise
+# ops round identically regardless of surrounding fusion (no FP
+# contraction/reassociation in XLA's default semantics), so the floor is
+# bit-identical on both sides. Guarded by
+# tests/test_tpu_rans.py::test_gauss_bound_bulk_vs_scan_identical.
+#
+# Rate: the analytic quantization is within ~0.1% of the baked-table
+# rate (same gaussian, same tail mass class); only the widest rows pay
+# the eps mixing visibly and almost no trained-stat symbols land there.
+
+GAUSS_B = 65504.0          # value-slot budget; [B, 2^16) = escape bin
+GAUSS_ESC_FREQ = 65536.0 - GAUSS_B
+SUPPORT_SIGMAS = 6.0       # matches the baked tables' 1e-9 tail multiplier
+EPS_MARGIN = 2.5           # pre-floor bound gap (>= 1 + f32 slack)
+_INV_SQRT2 = 0.7071067811865476
+GAUSS_LANES = 128          # y planes; smaller than the table path's 256:
+                           # the bisection scan step is cheap enough that
+                           # halving the per-lane state flush wins
+
+
+class GaussAnalytic(NamedTuple):
+    """Per-scale-table-row f32 parameters for the analytic coder.
+
+    params: (rows, 8) f32 — [inv_sigma, c+0.5, c, L, 1/L, eps, phi_lo,
+    inv_den]. Fetched per symbol by exact one-hot matmul (rows <= 64)."""
+
+    params: jax.Array
+
+
+def build_gauss_analytic(scale_table) -> GaussAnalytic:
+    from scipy.special import ndtr
+
+    st = np.asarray(scale_table, np.float64)
+    c = np.ceil(SUPPORT_SIGMAS * st)
+    L = 2.0 * c + 1.0
+    eps = EPS_MARGIN * L / GAUSS_B
+    phi_lo = ndtr((-c - 0.5) / st)
+    den = ndtr((c + 0.5) / st) - phi_lo
+    p = np.stack([1.0 / st, c + 0.5, c, L, 1.0 / L, eps,
+                  phi_lo, 1.0 / den], axis=1).astype(np.float32)
+    return GaussAnalytic(params=jnp.asarray(p))
+
+
+def _gauss_bound(v, inv_sigma, chalf, L, inv_L, eps, phi_lo, inv_den):
+    """Quantized CDF bound at integer bin edge v (all f32, all exact
+    integers on output). Must stay a single shared expression — both
+    coder directions call it (see exactness contract above)."""
+    t = (v - chalf) * inv_sigma
+    phi = 0.5 * (1.0 + jax.lax.erf(t * _INV_SQRT2))
+    F = (phi - phi_lo) * inv_den
+    G = F + eps * (v * inv_L - F)
+    b = jnp.floor(GAUSS_B * G)
+    b = jnp.clip(b, v, GAUSS_B - L + v)
+    return jnp.where(v <= 0.0, 0.0, jnp.where(v >= L, GAUSS_B, b))
+
+
+def _gauss_params_for(idx_flat: jax.Array, ga: GaussAnalytic):
+    """(n,) i32 row ids -> tuple of 8 (n,) f32 param vectors (exact:
+    one-hot matmul copies each f32 value bit-for-bit)."""
+    rows = ga.params.shape[0]
+    P = _lookup(_row_onehot(idx_flat, rows), ga.params)
+    return tuple(P[:, i] for i in range(8))
+
+
+def gauss_encode(symbols: jax.Array, indexes: jax.Array,
+                 ga: GaussAnalytic, lanes: int):
+    """Analytic-gaussian encode of a flat (n,) int32 plane; same output
+    contract as rans_encode."""
+    n = symbols.shape[0]
+    T, _, _ = plane_geometry(n, lanes)
+    sym_tl = _to_tl(symbols.astype(jnp.int32), T, lanes, 0)  # pad: center
+    idx_tl = _to_tl(indexes.astype(jnp.int32), T, lanes, 0)
+    inv_sigma, chalf, c, L, inv_L, eps, phi_lo, inv_den = (
+        q.reshape(T, lanes) for q in _gauss_params_for(
+            idx_tl.reshape(-1), ga))
+    v = sym_tl.astype(jnp.float32) + c
+    esc_tl = (v < 0.0) | (v >= L)
+    vv = jnp.where(esc_tl, 0.0, v)
+    b0 = _gauss_bound(vv, inv_sigma, chalf, L, inv_L, eps, phi_lo, inv_den)
+    b1 = _gauss_bound(vv + 1.0, inv_sigma, chalf, L, inv_L, eps, phi_lo,
+                      inv_den)
+    start = jnp.where(esc_tl, GAUSS_B, b0)
+    freq_f = jnp.where(esc_tl, GAUSS_ESC_FREQ, b1 - b0)
+    return _encode_scan_core(sym_tl, start.astype(jnp.uint32), freq_f,
+                             esc_tl, lanes, n)
+
+
+def gauss_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
+                 esc_pos: jax.Array, esc_val: jax.Array,
+                 ga: GaussAnalytic, lanes: int, n: int) -> jax.Array:
+    """Analytic-gaussian decode; same contract as rans_decode.
+
+    The scan carries NO table state: each step recovers the bin by
+    bisection on _gauss_bound (12 iterations cover L <= 3073+2), tracking
+    bound(lo)/bound(hi) so start/freq need no extra evaluations."""
+    T, padded, _ = plane_geometry(n, lanes)
+    idx_tl = _to_tl(indexes.astype(jnp.int32), T, lanes, 0)
+    rows = ga.params.shape[0]
+    P = _lookup(_row_onehot(idx_tl.reshape(-1), rows),
+                ga.params).reshape(T, lanes, 8)
+    prefix_m = _prefix_matrix(lanes)
+    n_iters = max(1, int(np.ceil(np.log2(
+        2.0 * np.ceil(SUPPORT_SIGMAS * 256.0) + 2.0))))
+
+    def step(carry, p):
+        state, ptr = carry
+        inv_sigma, chalf, c, L = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+        inv_L, eps, phi_lo, inv_den = p[:, 4], p[:, 5], p[:, 6], p[:, 7]
+        slot = state & 0xFFFF
+        slot_f = slot.astype(jnp.float32)
+        is_esc = slot_f >= GAUSS_B
+        # bisection invariant: bound(lo) <= slot < bound(hi)
+        lo = jnp.zeros_like(slot_f)
+        blo = jnp.zeros_like(slot_f)
+        hi = L
+        bhi = jnp.full_like(slot_f, GAUSS_B)
+        for _ in range(n_iters):
+            mid = jnp.floor((lo + hi) * 0.5)
+            b = _gauss_bound(mid, inv_sigma, chalf, L, inv_L, eps,
+                             phi_lo, inv_den)
+            take = b <= slot_f
+            lo = jnp.where(take, mid, lo)
+            blo = jnp.where(take, b, blo)
+            hi = jnp.where(take, hi, mid)
+            bhi = jnp.where(take, bhi, b)
+        start = jnp.where(is_esc, GAUSS_B, blo)
+        freq = jnp.where(is_esc, 65536.0, bhi) - start
+        state = (freq.astype(jnp.uint32) * (state >> 16)
+                 + (slot - start.astype(jnp.uint32)))
+        need = (state < RENORM_BASE).astype(jnp.float32)
+        rankx = jnp.matmul(need, prefix_m,
+                           precision=jax.lax.Precision.HIGHEST)
+        rank = rankx[:lanes].astype(jnp.uint32)
+        read = jnp.take(stream, ptr + rank, mode="clip").astype(jnp.uint32)
+        state = jnp.where(need > 0, (state << 16) | read, state)
+        ptr = ptr + rankx[lanes].astype(jnp.uint32)
+        return (state, ptr), (lo - c).astype(jnp.int32)
+
+    init = (states.astype(jnp.uint32), jnp.uint32(0))
+    _, sym_tl = jax.lax.scan(step, init, P)
+    sym_flat = sym_tl.reshape(-1)
     # substitute escaped values (side list; padding positions drop)
     sym_flat = sym_flat.at[esc_pos].set(esc_val, mode="drop")
     return sym_flat[:n]

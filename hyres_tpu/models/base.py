@@ -51,7 +51,8 @@ class CodecBase:
         if self.coder == "tpu":
             from .codec import TpuPlaneCoder
 
-            self.tpu_coder = TpuPlaneCoder(self.gauss_tables, self.eb_tables)
+            self.tpu_coder = TpuPlaneCoder(self.gauss_tables, self.eb_tables,
+                                           scale_table=self.scale_table)
 
     # subclasses define their compiled stages here
     def _build_jits(self):

@@ -159,31 +159,47 @@ def _decode_planes(strings: Sequence[bytes], indexes: np.ndarray, t: CdfTables) 
 class TpuPlaneCoder:
     """Device-side rANS coder bound to one baked table set.
 
-    Owns the HBM slot-LUTs and the jitted (vmapped-over-batch) encode /
-    decode scan programs. All three planes of an image (z, y-anchor,
-    y-non-anchor) encode in ONE device program; each decode scan is its
-    own program so the surrounding entropy-parameter stages stay the
-    exact shared programs the encoder used (the bit-exactness invariant,
-    see CheckerboardCodec._build_jits).
+    Gaussian (y) planes use the TABLE-FREE analytic coder
+    (tpu_rans.gauss_encode/gauss_decode): the 64x3133 scale-table CDFs
+    would cost (n, 3133) f32 intermediates in bulk lookups and a
+    per-symbol LUT gather in the decode scan — the analytic bounds are
+    recomputed on the fly from (bin, sigma) instead, so batching scales.
+    Factorized-prior (z) planes keep the baked per-channel tables (their
+    densities are learned, not analytic; the tables are tiny).
 
-    y_lanes/z_lanes trade the per-lane state flush (4 B/lane of real
-    stream bytes) against scan depth; see coding/tpu_rans.py.
+    All three planes of an image (z, y-anchor, y-non-anchor) encode in
+    ONE device program; each decode scan is its own program so the
+    surrounding entropy-parameter stages stay the exact shared programs
+    the encoder used (the bit-exactness invariant, see
+    CheckerboardCodec._build_jits).
+
+    Lane counts trade the per-lane state flush (4 B/lane of real stream
+    bytes) against scan depth; see coding/tpu_rans.py.
     """
 
-    def __init__(self, gauss_tables, eb_tables):
-        self.gauss_dev = tpu_rans.build_device_tables(gauss_tables)
+    def __init__(self, gauss_tables, eb_tables, scale_table=None):
+        if scale_table is None:
+            scale_table = get_scale_table()
+        self.gauss_ana = tpu_rans.build_gauss_analytic(scale_table)
         self.eb_dev = tpu_rans.build_device_tables(eb_tables)
 
-        gauss_dev, eb_dev = self.gauss_dev, self.eb_dev
+        gauss_ana, eb_dev = self.gauss_ana, self.eb_dev
 
-        def _enc(sym, idx, dev):
-            """Per-plane vmapped encode; lanes derived from the (static
-            under trace) plane size."""
+        def _enc_eb(sym, idx):
             B = sym.shape[0]
             n = int(np.prod(sym.shape[1:]))
             lanes = tpu_rans.lanes_for(n)
             return jax.vmap(
-                lambda s, i: tpu_rans.rans_encode(s, i, dev, lanes)
+                lambda s, i: tpu_rans.rans_encode(s, i, eb_dev, lanes)
+            )(sym.astype(jnp.int32).reshape(B, -1),
+              idx.astype(jnp.int32).reshape(B, -1))
+
+        def _enc_gauss(sym, idx):
+            B = sym.shape[0]
+            n = int(np.prod(sym.shape[1:]))
+            lanes = min(tpu_rans.GAUSS_LANES, tpu_rans.lanes_for(n))
+            return jax.vmap(
+                lambda s, i: tpu_rans.gauss_encode(s, i, gauss_ana, lanes)
             )(sym.astype(jnp.int32).reshape(B, -1),
               idx.astype(jnp.int32).reshape(B, -1))
 
@@ -193,25 +209,25 @@ class TpuPlaneCoder:
 
         @jax.jit
         def encode_all(z_sym, a_sym, a_idx, n_sym, n_idx):
-            return (_enc(z_sym, _z_idx(z_sym), eb_dev),
-                    _enc(a_sym, a_idx, gauss_dev),
-                    _enc(n_sym, n_idx, gauss_dev))
+            return (_enc_eb(z_sym, _z_idx(z_sym)),
+                    _enc_gauss(a_sym, a_idx),
+                    _enc_gauss(n_sym, n_idx))
 
         @jax.jit
         def encode_gauss(sym, idx):
-            return _enc(sym, idx, gauss_dev)
+            return _enc_gauss(sym, idx)
 
         @jax.jit
         def encode_eb(z_sym):
-            return _enc(z_sym, _z_idx(z_sym), eb_dev)
+            return _enc_eb(z_sym, _z_idx(z_sym))
 
         @functools.partial(jax.jit, static_argnums=(5,))
         def decode_gauss(stream, states, idx, esc_pos, esc_val, lanes: int):
             B = idx.shape[0]
             n = int(np.prod(idx.shape[1:]))
             sym = jax.vmap(
-                lambda st, sa, ix, ep, ev: tpu_rans.rans_decode(
-                    st, sa, ix, ep, ev, gauss_dev, lanes, n)
+                lambda st, sa, ix, ep, ev: tpu_rans.gauss_decode(
+                    st, sa, ix, ep, ev, gauss_ana, lanes, n)
             )(stream, states, idx.astype(jnp.int32).reshape(B, -1),
               esc_pos, esc_val)
             sym = jnp.clip(sym, -32000, 32000).astype(jnp.int16)

@@ -209,3 +209,126 @@ def test_escape_value_beyond_i16_overflows():
     esc_val = np.array([40000], np.int32)
     with pytest.raises(OverflowError):
         tpu_rans.frame_plane(states, stream, 0, esc_pos, esc_val, 1)
+
+
+# ---------------------------------------------------------------------------
+# analytic gaussian coder
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ga():
+    from hyres_tpu.entropy import get_scale_table
+    return tpu_rans.build_gauss_analytic(get_scale_table())
+
+
+def _ga_roundtrip(sym, idx, ga, lanes):
+    enc = jax.jit(tpu_rans.gauss_encode, static_argnums=(3,))(
+        jnp.asarray(sym), jnp.asarray(idx), ga, lanes)
+    data = tpu_rans.frame_plane(
+        np.asarray(enc["states"]), np.asarray(enc["stream"]),
+        int(enc["n_renorm"]), np.asarray(enc["esc_pos"]),
+        np.asarray(enc["esc_val"]), int(enc["n_esc"]))
+    lanes2, states, stream, esc_pos, esc_val = tpu_rans.unframe_plane(
+        data, sym.size)
+    assert lanes2 == lanes
+    got = jax.jit(tpu_rans.gauss_decode, static_argnums=(6, 7))(
+        jnp.asarray(stream), jnp.asarray(states), jnp.asarray(idx),
+        jnp.asarray(esc_pos), jnp.asarray(esc_val), ga, lanes, sym.size)
+    return np.asarray(got), data
+
+
+def test_gauss_analytic_roundtrip(ga):
+    from hyres_tpu.entropy import get_scale_table
+    rng = np.random.default_rng(0)
+    n = 20000
+    idx = rng.integers(0, 64, n).astype(np.int32)
+    sigma = np.asarray(get_scale_table())[idx]
+    sym = np.round(rng.normal(0, sigma)).astype(np.int32)
+    got, data = _ga_roundtrip(sym, idx, ga, lanes=64)
+    np.testing.assert_array_equal(got, sym)
+    # rate sanity: within a few % of the gaussian entropy
+    ent_bits = float(np.sum(0.5 * np.log2(2 * np.pi * np.e * sigma**2).clip(1)))
+    assert len(data) * 8 <= ent_bits * 1.06 + (64 * 4 + 6) * 8
+
+
+def test_gauss_analytic_support_edges_roundtrip(ga):
+    """Every row's extreme in-support bins and just-outside (escape)
+    values roundtrip exactly."""
+    from hyres_tpu.entropy import get_scale_table
+    st = np.asarray(get_scale_table(), np.float64)
+    c = np.ceil(tpu_rans.SUPPORT_SIGMAS * st).astype(np.int64)
+    rows = []
+    for r in range(64):
+        for s in (-c[r], -c[r] + 1, -1, 0, 1, c[r] - 1, c[r],
+                  c[r] + 1, -c[r] - 1):  # last two escape
+            rows.append((r, s))
+    idx = np.array([r for r, _ in rows], np.int32)
+    sym = np.array([s for _, s in rows], np.int32)
+    got, _ = _ga_roundtrip(sym, idx, ga, lanes=32)
+    np.testing.assert_array_equal(got, sym)
+
+
+def test_gauss_bound_bulk_vs_scan_identical(ga):
+    """THE exactness contract: _gauss_bound evaluated in a bulk program
+    (encode side) and inside a lax.scan (decode side) must agree
+    bit-for-bit for every (row, bin edge) — a 1-ulp difference desyncs
+    the coder. XLA f32 elementwise ops have no FP contraction, so the
+    jaxpr shared by both sides must lower identically; this test pins
+    that on whatever backend runs it."""
+    rows_n = 64
+    P = np.asarray(ga.params)
+    Lmax = int(P[:, 3].max())
+    # all (row, v) pairs, v in [0, L_r] (clip above L_r is exercised too)
+    vs = np.arange(Lmax + 1, dtype=np.float32)
+    ridx = np.repeat(np.arange(rows_n, dtype=np.int32), vs.size)
+    v_all = np.tile(vs, rows_n)
+
+    def bulk(v, idxf):
+        p = tpu_rans._lookup(tpu_rans._row_onehot(idxf, rows_n), ga.params)
+        return tpu_rans._gauss_bound(v, p[:, 0], p[:, 1], p[:, 3], p[:, 4],
+                                     p[:, 5], p[:, 6], p[:, 7])
+
+    def scanned(v, idxf):
+        p = tpu_rans._lookup(tpu_rans._row_onehot(idxf, rows_n), ga.params)
+
+        def step(_, xs):
+            vv, pr = xs
+            b = tpu_rans._gauss_bound(vv, pr[:, 0], pr[:, 1], pr[:, 3],
+                                      pr[:, 4], pr[:, 5], pr[:, 6], pr[:, 7])
+            return None, b
+
+        _, out = jax.lax.scan(step, None,
+                              (v.reshape(-1, 64), p.reshape(-1, 64, 8)))
+        return out.reshape(-1)
+
+    pad = (-v_all.size) % 64
+    v_pad = np.pad(v_all, (0, pad))
+    r_pad = np.pad(ridx, (0, pad))
+    a = np.asarray(jax.jit(bulk)(jnp.asarray(v_pad), jnp.asarray(r_pad)))
+    b = np.asarray(jax.jit(scanned)(jnp.asarray(v_pad), jnp.asarray(r_pad)))
+    np.testing.assert_array_equal(a, b)
+    # and the bounds are a valid quantized CDF per row: strictly
+    # monotone with every bin >= 1 slot wide, ending exactly at B
+    a2 = a[: v_all.size].reshape(rows_n, -1)
+    for r in range(rows_n):
+        L = int(P[r, 3])
+        brow = a2[r, : L + 1]
+        assert brow[0] == 0.0 and brow[L] == tpu_rans.GAUSS_B
+        assert np.all(np.diff(brow) >= 1.0), f"row {r} has a zero-width bin"
+
+
+def test_gauss_analytic_rate_close_to_table_coder(ga, gauss_tables):
+    """The analytic quantization's rate matches the baked-table coder's
+    within ~1% on trained-like symbol statistics."""
+    from hyres_tpu.entropy import get_scale_table
+    host, dev = gauss_tables
+    rng = np.random.default_rng(7)
+    n = 65536
+    idx = rng.integers(0, 40, n).astype(np.int32)  # typical scales
+    sigma = np.asarray(get_scale_table())[idx]
+    sym = np.round(rng.normal(0, sigma)).astype(np.int32)
+    _, data_a = _ga_roundtrip(sym, idx, ga, lanes=64)
+    got, data_t = _roundtrip(sym, idx, dev, lanes=64)
+    np.testing.assert_array_equal(got, sym)
+    assert len(data_a) <= len(data_t) * 1.01 + 64
