@@ -43,6 +43,11 @@ def parse_args(argv=None):
                         "loading a raw training checkpoint (the refit makes "
                         "the baked CDF support exact regardless of how far "
                         "the aux optimizer converged)")
+    p.add_argument("--cold-timings", action="store_true",
+                   help="skip the per-shape warm-up roundtrip, so the first "
+                        "image of each shape reports jit-compile time in "
+                        "enc/dec_time (default warms first: the reference's "
+                        "CSVs are warm-model timings, src/inference.py:68-71)")
     return p.parse_args(argv)
 
 
@@ -174,6 +179,25 @@ def main(argv=None):
     import contextlib
 
     import jax
+
+    if not args.cold_timings:
+        # warm-timing discipline: compile every stage per distinct input
+        # shape BEFORE the timed loop (first-use over the TPU tunnel is
+        # dominated by multi-second jit compiles, which made the CSV
+        # averages meaningless; the reference times a warm model)
+        from ..train import load_image
+
+        seen = set()
+        for f in files:
+            x = jnp.asarray(load_image(f))
+            if x.shape in seen:
+                continue
+            seen.add(x.shape)
+            comp = codec.compress(x)
+            dec = (codec.decompress(comp) if "jpeg_buffers" in comp
+                   else codec.decompress(comp["strings"], comp["shape"],
+                                         comp.get("size")))
+            jax.block_until_ready(dec["x_hat"])
 
     prof = (jax.profiler.trace(args.profile) if args.profile
             else contextlib.nullcontext())

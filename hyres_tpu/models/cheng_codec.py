@@ -103,10 +103,17 @@ class Cheng2020Codec(CodecBase):
         n_sym = self._enc_symbols(y, mn_p, CHENG_NONANCHOR)
 
         if self.tpu_coder is not None:
+            from .codec import unpack_encs_host
+
             tc = self.tpu_coder
-            enc_z, enc_a, enc_n = tc.encode_all(z_sym, a_sym, a_idx,
-                                                n_sym, n_idx)
-            enc_z, enc_a, enc_n = jax.device_get((enc_z, enc_a, enc_n))
+            blob = tc.encode_all_packed(
+                z_sym, a_sym, a_idx, n_sym, n_idx,
+                jnp.zeros((z_sym.shape[0], 0), jnp.uint8))
+            blob_np = jax.device_get(blob)  # the single device->host sync
+            n_z = int(np.prod(z_sym.shape[1:]))
+            n_y = int(np.prod(a_sym.shape[1:]))
+            metas = (tc.eb_meta(n_z), tc.gauss_meta(n_y), tc.gauss_meta(n_y))
+            (enc_z, enc_a, enc_n), _ = unpack_encs_host(blob_np, metas)
             try:
                 # TPU mode: the two passes are separate per-image frame
                 # LISTS (like the checkerboard layout) instead of the
@@ -193,16 +200,16 @@ class Cheng2020Codec(CodecBase):
         un = TpuPlaneCoder.unframe_batch(strings[0][1], n_y)
         if uz is None or ua is None or un is None:
             raise ValueError("mixed/unknown stream framing in cheng payload")
+        from .codec import upload_frames
 
-        z_sym = tc.decode_eb(jnp.asarray(uz[2]), jnp.asarray(uz[1]),
-                             jnp.asarray(uz[3]), jnp.asarray(uz[4]),
+        # ONE host->device transfer for all planes' decode inputs
+        (ua, un, uz), _ = upload_frames((ua, un, uz))
+        z_sym = tc.decode_eb(uz[2], uz[1], uz[3], uz[4],
                              (B, shape[0], shape[1], C), uz[0])
         hyper, a_idx, ma_p = self._dec_anchor(z_sym)
-        a_sym = tc.decode_gauss(jnp.asarray(ua[2]), jnp.asarray(ua[1]), a_idx,
-                                jnp.asarray(ua[3]), jnp.asarray(ua[4]), ua[0])
+        a_sym = tc.decode_gauss(ua[2], ua[1], a_idx, ua[3], ua[4], ua[0])
         y_anchor_hat, n_idx, mn_p = self._dec_nonanchor(hyper, a_sym, ma_p)
-        n_sym = tc.decode_gauss(jnp.asarray(un[2]), jnp.asarray(un[1]), n_idx,
-                                jnp.asarray(un[3]), jnp.asarray(un[4]), un[0])
+        n_sym = tc.decode_gauss(un[2], un[1], n_idx, un[3], un[4], un[0])
         x_hat = self._dec_synthesis(y_anchor_hat, n_sym, mn_p)
         if size is not None:
             x_hat = x_hat[:, : size[0], : size[1], :]

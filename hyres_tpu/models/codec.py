@@ -156,6 +156,132 @@ def _decode_planes(strings: Sequence[bytes], indexes: np.ndarray, t: CdfTables) 
         lambda i: _decode_one(strings[i], indexes[i], t), range(len(strings)))))
 
 
+# -- packed wire format -------------------------------------------------
+#
+# Every device<->host hop over the TPU tunnel pays ~20-25 ms of latency
+# PER ARRAY, which dwarfs bandwidth for the coder's many small outputs
+# (19 arrays per checkerboard compress, 33 uploads per ELIC decompress
+# before this existed). All coder traffic therefore rides ONE uint8
+# buffer per direction: device-side bitcasts concatenated along the byte
+# axis (XLA bitcast byte order == numpy little-endian views, pinned by
+# tests/test_tpu_rans.py::test_bitcast_matches_numpy_views), host-side
+# plain numpy views. Layout per plane:
+#   [states u32 * lanes][n_renorm i32][n_esc i32]
+#   [esc_pos i32 * ESC_MAX][esc_val i32 * ESC_MAX][stream u16 * cap]
+# planes back-to-back, optional caller payload ("extra", e.g. HyRES's
+# JPEG coefficients) last.
+
+
+def _dev_u8(x: jax.Array) -> jax.Array:
+    """(B, ...) any int dtype -> (B, nbytes) u8 (device-side)."""
+    b = jax.lax.bitcast_convert_type(x, jnp.uint8)
+    return b.reshape(x.shape[0], -1)
+
+
+def pack_encs(encs: Sequence[Dict], extra: jax.Array | None = None) -> jax.Array:
+    """Traceable: encoder output dicts (+ optional extra) -> (B, n) u8."""
+    parts = []
+    for e in encs:
+        parts += [_dev_u8(e["states"]),
+                  _dev_u8(e["n_renorm"].reshape(-1, 1)),
+                  _dev_u8(e["n_esc"].reshape(-1, 1)),
+                  _dev_u8(e["esc_pos"]), _dev_u8(e["esc_val"]),
+                  _dev_u8(e["stream"])]
+    if extra is not None:
+        parts.append(_dev_u8(extra))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _enc_plane_nbytes(lanes: int, cap: int) -> int:
+    return 4 * lanes + 8 + 8 * tpu_rans.ESC_MAX + 2 * cap
+
+
+def unpack_encs_host(blob: np.ndarray, metas: Sequence[Tuple[int, int]]):
+    """(B, n) u8 numpy blob -> (list of enc dicts, trailing extra bytes).
+
+    metas: per-plane (lanes, cap) in pack order."""
+    off = 0
+    encs = []
+
+    def view(nbytes, dt):
+        nonlocal off
+        out = np.ascontiguousarray(blob[:, off:off + nbytes]).view(dt)
+        off += nbytes
+        return out
+
+    for lanes, cap in metas:
+        encs.append({
+            "states": view(4 * lanes, np.uint32),
+            "n_renorm": view(4, np.int32)[:, 0],
+            "n_esc": view(4, np.int32)[:, 0],
+            "esc_pos": view(4 * tpu_rans.ESC_MAX, np.int32),
+            "esc_val": view(4 * tpu_rans.ESC_MAX, np.int32),
+            "stream": view(2 * cap, np.uint16),
+        })
+    return encs, blob[:, off:]
+
+
+def pack_frames_host(unframed: Sequence[Tuple], extra: np.ndarray | None = None):
+    """Host-side: unframe_batch outputs (+ optional extra bytes) -> ONE
+    (B, n) u8 upload buffer + metas for the device-side unpacker."""
+    parts, metas = [], []
+    for lanes, states, stream, esc_pos, esc_val in unframed:
+        metas.append((int(lanes), int(stream.shape[1])))
+        parts += [np.ascontiguousarray(states).view(np.uint8),
+                  np.ascontiguousarray(esc_pos.astype(np.int32)).view(np.uint8),
+                  np.ascontiguousarray(esc_val.astype(np.int32)).view(np.uint8),
+                  np.ascontiguousarray(stream).view(np.uint8)]
+    if extra is not None:
+        parts.append(np.ascontiguousarray(extra).view(np.uint8))
+    return np.concatenate(parts, axis=1), tuple(metas)
+
+
+@functools.lru_cache(maxsize=64)
+def _frames_unpacker(metas: Tuple[Tuple[int, int], ...], extra_nbytes: int):
+    """Jitted device-side inverse of pack_frames_host: ONE dispatch
+    returning every plane's (states u32, esc_pos i32, esc_val i32,
+    stream u16) plus the extra byte slice."""
+
+    @jax.jit
+    def unpack(blob):
+        B = blob.shape[0]
+        off = 0
+        outs = []
+        for lanes, cap in metas:
+            states = jax.lax.bitcast_convert_type(
+                blob[:, off:off + 4 * lanes].reshape(B, lanes, 4), jnp.uint32)
+            off += 4 * lanes
+            esc_pos = jax.lax.bitcast_convert_type(
+                blob[:, off:off + 4 * tpu_rans.ESC_MAX].reshape(
+                    B, tpu_rans.ESC_MAX, 4), jnp.int32)
+            off += 4 * tpu_rans.ESC_MAX
+            esc_val = jax.lax.bitcast_convert_type(
+                blob[:, off:off + 4 * tpu_rans.ESC_MAX].reshape(
+                    B, tpu_rans.ESC_MAX, 4), jnp.int32)
+            off += 4 * tpu_rans.ESC_MAX
+            stream = jax.lax.bitcast_convert_type(
+                blob[:, off:off + 2 * cap].reshape(B, cap, 2), jnp.uint16)
+            off += 2 * cap
+            outs.append((states, esc_pos, esc_val, stream))
+        extra = blob[:, off:off + extra_nbytes]
+        return outs, extra
+
+    return unpack
+
+
+def upload_frames(unframed: Sequence[Tuple], extra: np.ndarray | None = None):
+    """ONE host->device transfer for all planes' decode inputs. Returns
+    (per-plane device tuples like unframed, extra u8 device slice)."""
+    blob, metas = pack_frames_host(unframed, extra)
+    extra_nbytes = 0 if extra is None else extra.shape[1] * extra.itemsize
+    outs, d_extra = _frames_unpacker(metas, extra_nbytes)(jnp.asarray(blob))
+    # same tuple order as unframe_batch: (lanes, states, stream, esc_pos,
+    # esc_val)
+    return ([(unframed[i][0], states, stream, esc_pos, esc_val)
+             for i, (states, esc_pos, esc_val, stream) in enumerate(outs)],
+            d_extra if extra is not None else None)
+
+
 class TpuPlaneCoder:
     """Device-side rANS coder bound to one baked table set.
 
@@ -248,11 +374,40 @@ class TpuPlaneCoder:
             sym = jnp.clip(sym, -32000, 32000).astype(jnp.int16)
             return sym.reshape(shape)
 
+        @jax.jit
+        def encode_all_packed(z_sym, a_sym, a_idx, n_sym, n_idx, extra):
+            """Single-output encode: the three plane scans + ONE u8 wire
+            buffer (see packed wire format above). extra rides along so
+            the caller's device_get is exactly one transfer."""
+            encs = (_enc_eb(z_sym, _z_idx(z_sym)),
+                    _enc_gauss(a_sym, a_idx),
+                    _enc_gauss(n_sym, n_idx))
+            return pack_encs(encs, extra)
+
+        @jax.jit
+        def pack_encs_jit(encs):
+            """Pack a pytree of already-computed encoder outputs (ELIC's
+            per-slice loop) into the wire buffer: one extra dispatch, one
+            device_get."""
+            return pack_encs(encs)
+
         self.encode_all = encode_all
+        self.encode_all_packed = encode_all_packed
+        self.pack_encs_jit = pack_encs_jit
         self.encode_gauss = encode_gauss
         self.encode_eb = encode_eb
         self.decode_gauss = decode_gauss
         self.decode_eb = decode_eb
+
+    @staticmethod
+    def gauss_meta(n: int) -> Tuple[int, int]:
+        lanes = min(tpu_rans.GAUSS_LANES, tpu_rans.lanes_for(n))
+        return lanes, tpu_rans.stream_cap(n, lanes)
+
+    @staticmethod
+    def eb_meta(n: int) -> Tuple[int, int]:
+        lanes = tpu_rans.lanes_for(n)
+        return lanes, tpu_rans.stream_cap(n, lanes)
 
     # -- host-side (un)framing ---------------------------------------------
 
@@ -399,23 +554,33 @@ class CheckerboardCodec(CodecBase):
         }
 
     def _compress_from_latents_tpu(self, y, z_sym, size, start, extra=None):
-        """Single-sync encode: the stage programs and all three rANS
-        encode scans are enqueued back-to-back (device-to-device), then
-        ONE host transfer pulls the compacted streams (and the caller's
-        `extra` device arrays — e.g. HyRES's JPEG coefficients — so the
-        whole compress has exactly one sync).
+        """Single-sync encode: the stage programs, all three rANS encode
+        scans, AND the wire-buffer pack are enqueued back-to-back
+        (device-to-device), then ONE host transfer of ONE u8 array pulls
+        everything (the caller's `extra` — e.g. HyRES's JPEG
+        coefficients — rides the same buffer; tunnel latency is per
+        ARRAY, see the packed wire format notes).
 
         If ANY plane's escape side list overflows (pathological stats,
         e.g. untrained models), the WHOLE batch re-frames with the host
         coder — formats are never mixed within a compressed payload (the
         decode path picks one choreography for the batch)."""
         tc = self.tpu_coder
+        B = z_sym.shape[0]
         lp, a_idx, ma_p, a_sym = self._dec_stage1(z_sym, y)
         _, n_idx, mn_p, n_sym = self._dec_stage2(lp, a_sym, ma_p, y)
-        enc_z, enc_a, enc_n = tc.encode_all(z_sym, a_sym, a_idx, n_sym, n_idx)
-        # the single device->host sync
-        enc_z, enc_a, enc_n, extra_np = jax.device_get(
-            (enc_z, enc_a, enc_n, extra))
+        extra_arr = (jnp.zeros((B, 0), jnp.uint8) if extra is None else extra)
+        blob = tc.encode_all_packed(z_sym, a_sym, a_idx, n_sym, n_idx,
+                                    extra_arr)
+        blob_np = jax.device_get(blob)  # the single device->host sync
+
+        n_z = int(np.prod(z_sym.shape[1:]))
+        n_y = int(np.prod(a_sym.shape[1:]))
+        metas = (tc.eb_meta(n_z), tc.gauss_meta(n_y), tc.gauss_meta(n_y))
+        (enc_z, enc_a, enc_n), extra_bytes = unpack_encs_host(blob_np, metas)
+        extra_np = (None if extra is None else np.ascontiguousarray(
+            extra_bytes).view(np.dtype(extra.dtype)).reshape(
+            B, *extra.shape[1:]))
 
         try:
             z_strings = tc.frames_from_enc(enc_z)
@@ -446,9 +611,14 @@ class CheckerboardCodec(CodecBase):
         x_hat.block_until_ready()
         return {"x_hat": x_hat, "time": time.time() - start}
 
-    def _decode_latent_stages(self, strings, shape):
-        """Shared decode choreography up to (y_anchor_hat, n_sym, mn_p)."""
-        tpu = (self._decode_latent_stages_tpu(strings, shape)
+    def _decode_latent_stages(self, strings, shape, extra_bytes=None):
+        """Shared decode choreography up to (y_anchor_hat, n_sym, mn_p).
+
+        extra_bytes: optional (B, k) numpy byte payload the caller wants
+        on device (HyRES's JPEG coefficients) — it rides the coder's
+        single upload. When given, the return is a 4-tuple with the
+        device-side u8 slice appended."""
+        tpu = (self._decode_latent_stages_tpu(strings, shape, extra_bytes)
                if self.tpu_coder is not None else None)
         if tpu is not None:
             return tpu
@@ -467,9 +637,12 @@ class CheckerboardCodec(CodecBase):
             lp, jnp.asarray(a_sym), ma_p, y_zero)
         n_sym = narrow_symbols_i16(_decode_planes(
             strings[0][1], np.asarray(n_idx), self.gauss_tables))
+        if extra_bytes is not None:
+            return (y_anchor_hat, jnp.asarray(n_sym), mn_p,
+                    jnp.asarray(extra_bytes))
         return y_anchor_hat, jnp.asarray(n_sym), mn_p
 
-    def _decode_latent_stages_tpu(self, strings, shape):
+    def _decode_latent_stages_tpu(self, strings, shape, extra_bytes=None):
         """All-device decode chain: rANS scans between the SAME stage
         programs the encoder used; no host sync until the caller pulls
         x_hat. Returns None if any plane is host-coder framed."""
@@ -484,27 +657,16 @@ class CheckerboardCodec(CodecBase):
         un = TpuPlaneCoder.unframe_batch(strings[0][1], n_y)
         if uz is None or ua is None or un is None:
             return None
-        # pack the three planes' buffers into ONE upload per dtype (each
-        # host->device transfer costs ~10s of ms of tunnel latency);
-        # device-side slices reuse the per-plane compiled programs
-        d_stream = jnp.asarray(
-            np.concatenate([ua[2], un[2], uz[2]], axis=1))
-        d_states = jnp.asarray(
-            np.concatenate([ua[1], un[1], uz[1]], axis=1))
-        d_esc = jnp.asarray(
-            np.stack([ua[3], ua[4], un[3], un[4], uz[3], uz[4]], axis=1))
-        capA, capN = ua[2].shape[1], un[2].shape[1]
-        lanesA, lanesN = ua[1].shape[1], un[1].shape[1]
-        sA, sN, sZ = (d_stream[:, :capA], d_stream[:, capA:capA + capN],
-                      d_stream[:, capA + capN:])
-        stA, stN, stZ = (d_states[:, :lanesA],
-                         d_states[:, lanesA:lanesA + lanesN],
-                         d_states[:, lanesA + lanesN:])
-        z_sym = tc.decode_eb(sZ, stZ, d_esc[:, 4], d_esc[:, 5], zshape, uz[0])
+        # ONE upload for everything (streams, states, escape lists, plus
+        # the caller's extra bytes): tunnel latency is per array
+        (ua, un, uz), d_extra = upload_frames((ua, un, uz), extra_bytes)
+        z_sym = tc.decode_eb(uz[2], uz[1], uz[3], uz[4], zshape, uz[0])
         y_zero = jnp.zeros((B, shape[0] * 4, shape[1] * 4, self.model.M),
                            jnp.float32)
         lp, a_idx, ma_p, _ = self._dec_stage1(z_sym, y_zero)
-        a_sym = tc.decode_gauss(sA, stA, a_idx, d_esc[:, 0], d_esc[:, 1], ua[0])
+        a_sym = tc.decode_gauss(ua[2], ua[1], a_idx, ua[3], ua[4], ua[0])
         y_anchor_hat, n_idx, mn_p, _ = self._dec_stage2(lp, a_sym, ma_p, y_zero)
-        n_sym = tc.decode_gauss(sN, stN, n_idx, d_esc[:, 2], d_esc[:, 3], un[0])
+        n_sym = tc.decode_gauss(un[2], un[1], n_idx, un[3], un[4], un[0])
+        if extra_bytes is not None:
+            return y_anchor_hat, n_sym, mn_p, d_extra
         return y_anchor_hat, n_sym, mn_p

@@ -37,7 +37,6 @@ from ..jpeg import (
     jpeg_roundtrip,
 )
 from ..jpeg.bitstream import ParsedJpeg
-from ..jpeg.core import decode_with_qtables
 from ..jpeg.tables import quality_to_qtables
 
 
@@ -168,8 +167,7 @@ class HyresCodec:
         from ..nn import checkerboard
         from ..nn.checkerboard import NON_ANCHOR
 
-        @jax.jit
-        def dec_final(y_anchor_hat, n_sym, mn_p, jpeg_decoded):
+        def _final(y_anchor_hat, n_sym, mn_p, jpeg_decoded):
             # fused residual synthesis + refinement: one device roundtrip
             # instead of two (residual g_s, then refine)
             y_nonanchor_hat = checkerboard.unpack(
@@ -181,8 +179,36 @@ class HyresCodec:
             x_init = jpeg_decoded + res_hat[:, :H, :W, :]
             return model.apply(self.params, x_init, method=model.refine_stage)
 
+        import functools
+
+        from ..jpeg.core import dequant_idct, upsample_420, ycbcr_to_rgb
+
+        @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+        def dec_final_packed(y_anchor_hat, n_sym, mn_p, coef_u8, qy, qc,
+                             itemsize: int, shapes, height: int, width: int):
+            """Fully fused decode tail: the JPEG coefficients arrive as the
+            raw byte slice that rode the coder's single upload (see
+            codec.py packed wire format) — bitcast + split + dequant/IDCT
+            + residual synthesis + refine in ONE program."""
+            B = coef_u8.shape[0]
+            if itemsize == 1:
+                coef = jax.lax.bitcast_convert_type(coef_u8, jnp.int8)
+            else:
+                coef = jax.lax.bitcast_convert_type(
+                    coef_u8.reshape(B, -1, 2), jnp.int16)
+            sizes = [int(np.prod(s[1:])) for s in shapes]
+            o1, o2 = sizes[0], sizes[0] + sizes[1]
+            cy = coef[:, :o1].reshape((B,) + shapes[0][1:]).astype(jnp.int16)
+            ccb = coef[:, o1:o2].reshape((B,) + shapes[1][1:]).astype(jnp.int16)
+            ccr = coef[:, o2:].reshape((B,) + shapes[2][1:]).astype(jnp.int16)
+            y = dequant_idct(cy, qy)
+            cb = upsample_420(dequant_idct(ccb, qc))
+            cr = upsample_420(dequant_idct(ccr, qc))
+            jpeg_decoded = ycbcr_to_rgb(y, cb, cr)[:, :height, :width, :]
+            return _final(y_anchor_hat, n_sym, mn_p, jpeg_decoded)
+
         self._enc_front = enc_front
-        self._dec_final = dec_final
+        self._dec_final_packed = dec_final_packed
 
     def update(self, scale_table=None, force: bool = False) -> bool:
         return self._residual.update(scale_table=scale_table, force=force)
@@ -216,30 +242,27 @@ class HyresCodec:
         buffers = compressed["jpeg_buffers"]
         planes = [ParsedJpeg(b) for b in buffers]
         p0 = planes[0]
-        # ONE host->device upload for all coefficient planes (transfer
-        # latency dominates size over the tunnel), int8 when the values
-        # fit; device-side split/reshape is fused into the decode
+        # the JPEG coefficients ride the residual coder's SINGLE
+        # host->device upload as raw bytes (transfer latency is per array
+        # over the tunnel), int8 when the values fit; bitcast + split +
+        # dequant/IDCT + synthesis + refine all fuse device-side
         stacked = [np.stack([p.coeffs[k] for p in planes]) for k in range(3)]
         flat = np.concatenate([c.reshape(len(planes), -1) for c in stacked],
                               axis=1)
-        if np.abs(flat).max() <= 127:
-            flat = flat.astype(np.int8)
-        d_flat = jnp.asarray(flat).astype(jnp.int16)
-        n0, n1 = (int(np.prod(stacked[0].shape[1:])),
-                  int(np.prod(stacked[1].shape[1:])))
-        cy = d_flat[:, :n0].reshape(stacked[0].shape)
-        ccb = d_flat[:, n0:n0 + n1].reshape(stacked[1].shape)
-        ccr = d_flat[:, n0 + n1:].reshape(stacked[2].shape)
-        jpeg_decoded = decode_with_qtables(
-            cy, ccb, ccr, p0.qtables[0], p0.qtables[1], p0.height, p0.width)
+        flat = flat.astype(np.int8 if np.abs(flat).max() <= 127 else np.int16)
+        flat_u8 = np.ascontiguousarray(flat).view(np.uint8)
 
         # inline the residual codec's decode stages so the final program
-        # fuses residual synthesis + refinement
+        # fuses JPEG decode + residual synthesis + refinement
         r = self._residual
         r._require_tables()
-        y_anchor_hat, n_sym, mn_p = r._decode_latent_stages(
-            compressed["strings"], compressed["shape"])
-        x_hat = self._dec_final(y_anchor_hat, n_sym, mn_p, jpeg_decoded)
+        y_anchor_hat, n_sym, mn_p, d_coef = r._decode_latent_stages(
+            compressed["strings"], compressed["shape"], extra_bytes=flat_u8)
+        x_hat = self._dec_final_packed(
+            y_anchor_hat, n_sym, mn_p, d_coef,
+            jnp.asarray(p0.qtables[0]), jnp.asarray(p0.qtables[1]),
+            flat.dtype.itemsize,
+            tuple(tuple(s.shape) for s in stacked), p0.height, p0.width)
         x_hat.block_until_ready()
         return {"x_hat": x_hat, "time": time.time() - start}
 

@@ -31,9 +31,11 @@ def test_sharded_eval_matches_single_device():
 
 
 def test_spatial_sharded_single_image_eval():
-    """Halo'd spatial sharding: one image's rows split over the 8-device
-    mesh reproduce the unsharded eval forward (interior exactly, strip
-    boundaries within float/entropy-edge tolerance)."""
+    """Halo'd spatial sharding: the precise contract of
+    parallel/spatial.py — INTERIOR rows (further than the synthesis
+    receptive field from any strip boundary) match the unsharded eval
+    forward to float noise; latent rounding flips are CONFINED to the
+    boundary bands and bounded in rate."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -43,7 +45,8 @@ def test_spatial_sharded_single_image_eval():
     from hyres_tpu.parallel.spatial import make_spatial_eval
 
     model = LightWeightCheckerboard(N=16, M=24)
-    H = 64 * 8  # one 64-cell per device
+    strip = 128
+    H = strip * 8
     x = jax.random.uniform(jax.random.key(0), (1, H, 64, 3))
     params = model.init(jax.random.key(1), x[:, :64], noisequant=True,
                         rng=jax.random.key(2))
@@ -54,10 +57,19 @@ def test_spatial_sharded_single_image_eval():
     x_hat, bits = eval_fn(params, x)
     assert x_hat.shape == x.shape
     want = model.apply(params, x, noisequant=False)["x_hat"]
-    # the transforms are local, but latent ROUNDING can flip at isolated
-    # near-.5 values when a strip's context differs by float noise — so
-    # the criterion is distributional, not pointwise-exact
     err = np.abs(np.asarray(x_hat) - np.asarray(want))
-    assert np.mean(err) < 1e-3, np.mean(err)
+
+    # rows further than BAND px from any internal strip boundary: a
+    # flipped latent at a boundary can reach ~(receptive field of g_s)
+    # = a few latent rows x8 upsampling; 56 px bounds it for this stack
+    BAND = 48
+    row = np.arange(H)
+    dist = np.min(np.abs(row[:, None]
+                         - np.arange(strip, H, strip)[None, :]), axis=1)
+    interior = dist > BAND
+    assert interior.sum() > H // 4
+    assert err[0, interior].max() < 1e-4, err[0, interior].max()
+    # boundary bands: rounding flips allowed, but rare and bounded
     assert np.mean(err > 1e-2) < 0.02, np.mean(err > 1e-2)
+    assert np.mean(err) < 1e-3, np.mean(err)
     assert np.isfinite(float(bits)) and float(bits) > 0
