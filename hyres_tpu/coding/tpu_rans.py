@@ -592,7 +592,12 @@ def frame_plane(states: np.ndarray, stream: np.ndarray, n_renorm: int,
 
 
 def unframe_plane(data: bytes, n: int):
-    """bytes -> (lanes, states u32, padded stream u16, esc_pos, esc_val)."""
+    """bytes -> (lanes, states u32, EXACT-length stream u16, esc_pos,
+    esc_val). The decode scans read the stream only through
+    ``take(..., mode="clip")`` at offsets < n_renorm, so the stream array
+    needs no cap padding — callers batch-pad to a bucketed common length
+    (unframe_batch) to bound jit recompiles while keeping the
+    host->device upload near the actual payload size."""
     lanes = 1 << (data[0] & 0x7F)
     n_esc = data[1]
     n_renorm = int.from_bytes(data[2:6], "little")
@@ -600,7 +605,8 @@ def unframe_plane(data: bytes, n: int):
     states = np.frombuffer(data, "<u4", lanes, off).copy()
     off += 4 * lanes
     T, padded, _ = plane_geometry(n, lanes)
-    stream = np.zeros(stream_cap(n, lanes), np.uint16)
+    # at least one entry: jnp.take rejects gathers from an empty axis
+    stream = np.zeros(max(n_renorm, 1), np.uint16)
     stream[:n_renorm] = np.frombuffer(data, "<u2", n_renorm, off)
     off += 2 * n_renorm
     esc_pos = np.full(ESC_MAX, padded, np.int32)

@@ -88,7 +88,8 @@ class CompressionMetrics:
     """compute_all → {psnr, ms-ssim, lpips} (lpips None unless weights set)."""
 
     def __init__(self):
-        self.lpips_fn = None  # no AlexNet weights in this environment
+        from .lpips import load_lpips
+        self.lpips_fn = load_lpips()  # None unless HYRES_LPIPS_WEIGHTS set
 
     def compute_all(self, x: jax.Array, y: jax.Array) -> Dict:
         return {

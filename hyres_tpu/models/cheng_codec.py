@@ -103,18 +103,12 @@ class Cheng2020Codec(CodecBase):
         n_sym = self._enc_symbols(y, mn_p, CHENG_NONANCHOR)
 
         if self.tpu_coder is not None:
-            from .codec import unpack_encs_host
+            from .codec import pull_encs
 
             tc = self.tpu_coder
-            blob = tc.encode_all_packed(
-                z_sym, a_sym, a_idx, n_sym, n_idx,
-                jnp.zeros((z_sym.shape[0], 0), jnp.uint8))
-            blob_np = jax.device_get(blob)  # the single device->host sync
-            n_z = int(np.prod(z_sym.shape[1:]))
-            n_y = int(np.prod(a_sym.shape[1:]))
-            metas = (tc.eb_meta(n_z), tc.gauss_meta(n_y), tc.gauss_meta(n_y))
-            (enc_z, enc_a, enc_n), _ = unpack_encs_host(blob_np, metas)
+            encs = tc.encode_all(z_sym, a_sym, a_idx, n_sym, n_idx)
             try:
+                (enc_z, enc_a, enc_n), _ = pull_encs(encs)
                 # TPU mode: the two passes are separate per-image frame
                 # LISTS (like the checkerboard layout) instead of the
                 # reference's single flushed stream; decode dispatches on

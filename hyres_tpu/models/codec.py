@@ -172,6 +172,25 @@ def _decode_planes(strings: Sequence[bytes], indexes: np.ndarray, t: CdfTables) 
 # JPEG coefficients) last.
 
 
+# observability: every tunnel transfer the coder wire makes is counted
+# here (bytes, sync wall seconds) so perf work is attributable — see
+# scripts/profile_breakdown.py and RESULTS.md's breakdown table
+WIRE_STATS = {"d2h_bytes": 0, "d2h_syncs": 0, "d2h_s": 0.0, "h2d_bytes": 0}
+
+
+def reset_wire_stats() -> None:
+    WIRE_STATS.update(d2h_bytes=0, d2h_syncs=0, d2h_s=0.0, h2d_bytes=0)
+
+
+def _device_get_counted(x):
+    t0 = time.time()
+    out = jax.device_get(x)
+    WIRE_STATS["d2h_s"] += time.time() - t0
+    WIRE_STATS["d2h_syncs"] += 1
+    WIRE_STATS["d2h_bytes"] += out.nbytes
+    return out
+
+
 def _dev_u8(x: jax.Array) -> jax.Array:
     """(B, ...) any int dtype -> (B, nbytes) u8 (device-side)."""
     b = jax.lax.bitcast_convert_type(x, jnp.uint8)
@@ -194,6 +213,18 @@ def pack_encs(encs: Sequence[Dict], extra: jax.Array | None = None) -> jax.Array
 
 def _enc_plane_nbytes(lanes: int, cap: int) -> int:
     return 4 * lanes + 8 + 8 * tpu_rans.ESC_MAX + 2 * cap
+
+
+# wire-size bucketing granularities: phase-B slices and decode uploads
+# round actual lengths UP to these multiples so the transfer rides near
+# the true payload size while the jits compile only a handful of shapes
+_STREAM_BUCKET = 4096   # u16 renorm-stream entries (8 KB)
+_ESC_BUCKET = 16        # escape side-list entries
+_COEF_BUCKET = 4096     # sparse-extra (pos, val) entries
+
+
+def _bucket(n: int, g: int) -> int:
+    return max(g, -(-int(n) // g) * g)
 
 
 def unpack_encs_host(blob: np.ndarray, metas: Sequence[Tuple[int, int]]):
@@ -273,6 +304,7 @@ def upload_frames(unframed: Sequence[Tuple], extra: np.ndarray | None = None):
     """ONE host->device transfer for all planes' decode inputs. Returns
     (per-plane device tuples like unframed, extra u8 device slice)."""
     blob, metas = pack_frames_host(unframed, extra)
+    WIRE_STATS["h2d_bytes"] += blob.nbytes
     extra_nbytes = 0 if extra is None else extra.shape[1] * extra.itemsize
     outs, d_extra = _frames_unpacker(metas, extra_nbytes)(jnp.asarray(blob))
     # same tuple order as unframe_batch: (lanes, states, stream, esc_pos,
@@ -280,6 +312,164 @@ def upload_frames(unframed: Sequence[Tuple], extra: np.ndarray | None = None):
     return ([(unframed[i][0], states, stream, esc_pos, esc_val)
              for i, (states, esc_pos, esc_val, stream) in enumerate(outs)],
             d_extra if extra is not None else None)
+
+
+# -- two-phase encode pull ----------------------------------------------
+#
+# The single-sync encode pull ships every plane at its worst-case cap
+# (stream_cap) plus dense `extra` payload — ~10x the real bytes on
+# trained stats, and D2H over the tunnel runs only ~20-40 MB/s. For
+# batches >= 2 the pull is split: phase 1 downloads a tiny per-image
+# size vector (one ~25 ms sync), the host computes bucketed slice plans,
+# and phase 2 downloads a blob with streams/escape lists sliced to the
+# bucketed ACTUAL lengths and `extra` (HyRES's JPEG coefficients)
+# compacted to sparse (pos, val) pairs when that wins. The second fixed
+# sync costs ~25 ms and buys back hundreds of ms of cap padding at
+# batch 8. Overflows (stream cap / escape list) are visible in the size
+# vector, so the host falls back to the host coder BEFORE paying the
+# big pull.
+
+
+@jax.jit
+def _sizes_jit(encs, extra):
+    """(B, 2P+1) i32: per plane [n_renorm, n_esc], then nnz(extra)."""
+    cols = []
+    for e in encs:
+        cols += [e["n_renorm"], e["n_esc"]]
+    cols.append(jnp.sum((extra != 0).reshape(extra.shape[0], -1),
+                        axis=1).astype(jnp.int32))
+    return jnp.stack(cols, axis=1)
+
+
+@jax.jit
+def _pack_full_jit(encs, extra):
+    return pack_encs(encs, extra)
+
+
+@functools.partial(jax.jit, static_argnames=("slices", "coef_cap"))
+def _pack_sliced_jit(encs, extra, slices, coef_cap):
+    """pack_encs with per-plane (stream_len, esc_len) slicing; extra is
+    appended dense (coef_cap None) or as sparse (pos i32, val i16)
+    compacted pairs (coef_cap entries, positions padded with n)."""
+    parts = []
+    for e, (sl, el) in zip(encs, slices):
+        parts += [_dev_u8(e["states"]),
+                  _dev_u8(e["n_renorm"].reshape(-1, 1)),
+                  _dev_u8(e["n_esc"].reshape(-1, 1)),
+                  _dev_u8(e["esc_pos"][:, :el]),
+                  _dev_u8(e["esc_val"][:, :el]),
+                  _dev_u8(e["stream"][:, :sl])]
+    if coef_cap is None:
+        if extra.shape[1]:
+            parts.append(_dev_u8(extra))
+    else:
+        B = extra.shape[0]
+        flat = extra.reshape(B, -1)
+        n = flat.shape[1]
+
+        def one(row):
+            (pos,) = jnp.nonzero(row != 0, size=coef_cap, fill_value=n)
+            val = jnp.take(row, pos, mode="fill",
+                           fill_value=0).astype(jnp.int16)
+            return pos.astype(jnp.int32), val
+
+        pos, val = jax.vmap(one)(flat)
+        parts += [_dev_u8(pos), _dev_u8(val)]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _unpack_sliced_host(blob: np.ndarray, plans, extra_info):
+    """Inverse of _pack_sliced_jit. plans: per-plane (lanes, sl, el).
+    extra_info: None or (np_dtype, per_image_n, coef_cap_or_None).
+    Returns (encs, dense extra np or None)."""
+    off = 0
+    B = blob.shape[0]
+
+    def view(nbytes, dt):
+        nonlocal off
+        out = np.ascontiguousarray(blob[:, off:off + nbytes]).view(dt)
+        off += nbytes
+        return out
+
+    encs = []
+    for lanes, sl, el in plans:
+        encs.append({
+            "states": view(4 * lanes, np.uint32),
+            "n_renorm": view(4, np.int32)[:, 0],
+            "n_esc": view(4, np.int32)[:, 0],
+            "esc_pos": view(4 * el, np.int32) if el else
+            np.zeros((B, 0), np.int32),
+            "esc_val": view(4 * el, np.int32) if el else
+            np.zeros((B, 0), np.int32),
+            "stream": view(2 * sl, np.uint16),
+        })
+    extra_np = None
+    if extra_info is not None:
+        dt, n, coef_cap = extra_info
+        if coef_cap is None:
+            extra_np = view(n * dt.itemsize, dt)
+        else:
+            pos = view(4 * coef_cap, np.int32)
+            val = view(2 * coef_cap, np.int16)
+            extra_np = np.zeros((B, n), dt)
+            for i in range(B):
+                m = pos[i] < n
+                extra_np[i, pos[i][m]] = val[i][m]
+    return encs, extra_np
+
+
+def pull_encs(encs: Sequence[Dict], extra: jax.Array | None = None):
+    """Download a tuple/list of device encoder-output dicts (+ optional
+    dense `extra` payload) over the tunnel; see the two-phase notes
+    above. Raises OverflowError (before the big pull) when any plane
+    overflowed its stream cap or escape list — callers already treat
+    that as "re-frame with the host coder". Returns (host enc dicts,
+    extra as a dense (B, n) numpy array or None)."""
+    B = int(encs[0]["states"].shape[0])
+    extra_arr = (jnp.zeros((B, 0), jnp.uint8) if extra is None
+                 else extra.reshape(B, -1))
+    if B == 1:
+        blob_np = _device_get_counted(_pack_full_jit(list(encs), extra_arr))
+        metas = [(e["states"].shape[1], e["stream"].shape[1]) for e in encs]
+        out, extra_bytes = unpack_encs_host(blob_np, metas)
+        if extra is None:
+            return out, None
+        dt = np.dtype(extra.dtype)
+        return out, np.ascontiguousarray(extra_bytes).view(dt).reshape(
+            (B,) + tuple(extra.shape[1:]))
+
+    sizes = np.asarray(_device_get_counted(_sizes_jit(list(encs), extra_arr)))
+    plans = []
+    for p, e in enumerate(encs):
+        n_renorm = sizes[:, 2 * p]
+        n_esc = sizes[:, 2 * p + 1]
+        cap = int(e["stream"].shape[1])
+        if n_renorm.max() > cap or n_esc.max() >= min(
+                tpu_rans.ESC_MAX + 1, 256):
+            raise OverflowError(
+                f"plane {p}: renorm {int(n_renorm.max())}/{cap} or escapes "
+                f"{int(n_esc.max())} overflow")
+        sl = min(cap, _bucket(int(n_renorm.max()), _STREAM_BUCKET))
+        el = (0 if n_esc.max() == 0 else
+              min(tpu_rans.ESC_MAX, _bucket(int(n_esc.max()), _ESC_BUCKET)))
+        plans.append((int(e["states"].shape[1]), sl, el))
+
+    extra_info = None
+    coef_cap = None
+    if extra is not None:
+        dt = np.dtype(extra.dtype)
+        n = int(np.prod(extra.shape[1:]))
+        cap_nz = min(n, _bucket(int(sizes[:, -1].max()), _COEF_BUCKET))
+        coef_cap = cap_nz if 6 * cap_nz < n * dt.itemsize else None
+        extra_info = (dt, n, coef_cap)
+    blob_np = _device_get_counted(_pack_sliced_jit(
+        list(encs), extra_arr, slices=tuple((sl, el) for _, sl, el in plans),
+        coef_cap=coef_cap))
+    out, extra_np = _unpack_sliced_host(
+        blob_np, plans, extra_info)
+    if extra is not None and extra_np is not None:
+        extra_np = extra_np.reshape((B,) + tuple(extra.shape[1:]))
+    return out, extra_np
 
 
 class TpuPlaneCoder:
@@ -374,26 +564,7 @@ class TpuPlaneCoder:
             sym = jnp.clip(sym, -32000, 32000).astype(jnp.int16)
             return sym.reshape(shape)
 
-        @jax.jit
-        def encode_all_packed(z_sym, a_sym, a_idx, n_sym, n_idx, extra):
-            """Single-output encode: the three plane scans + ONE u8 wire
-            buffer (see packed wire format above). extra rides along so
-            the caller's device_get is exactly one transfer."""
-            encs = (_enc_eb(z_sym, _z_idx(z_sym)),
-                    _enc_gauss(a_sym, a_idx),
-                    _enc_gauss(n_sym, n_idx))
-            return pack_encs(encs, extra)
-
-        @jax.jit
-        def pack_encs_jit(encs):
-            """Pack a pytree of already-computed encoder outputs (ELIC's
-            per-slice loop) into the wire buffer: one extra dispatch, one
-            device_get."""
-            return pack_encs(encs)
-
         self.encode_all = encode_all
-        self.encode_all_packed = encode_all_packed
-        self.pack_encs_jit = pack_encs_jit
         self.encode_gauss = encode_gauss
         self.encode_eb = encode_eb
         self.decode_gauss = decode_gauss
@@ -425,16 +596,26 @@ class TpuPlaneCoder:
     @staticmethod
     def unframe_batch(strings: Sequence[bytes], n: int):
         """Per-image frames -> stacked device-ready arrays (or None if any
-        frame is host-coder format, which forces the host decode path)."""
+        frame is host-coder format, which forces the host decode path).
+
+        Streams are padded to a common BUCKETED length (next multiple of
+        ``_STREAM_BUCKET`` above the batch max) instead of the worst-case
+        cap: the upload then rides near the actual payload size, while
+        bucketing bounds how many stream shapes the decode jits compile.
+        """
         if not all(tpu_rans.is_tpu_frame(s) for s in strings):
             return None
         parts = [tpu_rans.unframe_plane(s, n) for s in strings]
         lanes = parts[0][0]
         if any(p[0] != lanes for p in parts):
             return None
+        L = _bucket(max(p[2].shape[0] for p in parts), _STREAM_BUCKET)
+        stream = np.zeros((len(parts), L), np.uint16)
+        for i, p in enumerate(parts):
+            stream[i, : p[2].shape[0]] = p[2]
         return (lanes,
                 np.stack([p[1] for p in parts]),
-                np.stack([p[2] for p in parts]),
+                stream,
                 np.stack([p[3] for p in parts]),
                 np.stack([p[4] for p in parts]))
 
@@ -554,39 +735,34 @@ class CheckerboardCodec(CodecBase):
         }
 
     def _compress_from_latents_tpu(self, y, z_sym, size, start, extra=None):
-        """Single-sync encode: the stage programs, all three rANS encode
-        scans, AND the wire-buffer pack are enqueued back-to-back
-        (device-to-device), then ONE host transfer of ONE u8 array pulls
-        everything (the caller's `extra` — e.g. HyRES's JPEG
-        coefficients — rides the same buffer; tunnel latency is per
-        ARRAY, see the packed wire format notes).
+        """Single- or two-phase-sync encode: the stage programs and all
+        three rANS encode scans are enqueued back-to-back
+        (device-to-device), then `pull_encs` downloads everything —
+        B==1: ONE transfer of ONE full-cap u8 wire buffer; B>=2: a tiny
+        size pull plus a bucket-sliced blob (see the two-phase notes).
+        The caller's `extra` (HyRES's JPEG coefficients) rides the same
+        pull either way.
 
-        If ANY plane's escape side list overflows (pathological stats,
-        e.g. untrained models), the WHOLE batch re-frames with the host
-        coder — formats are never mixed within a compressed payload (the
-        decode path picks one choreography for the batch)."""
+        If ANY plane's escape side list or stream cap overflows
+        (pathological stats, e.g. untrained models), the WHOLE batch
+        re-frames with the host coder — formats are never mixed within a
+        compressed payload (the decode path picks one choreography for
+        the batch)."""
         tc = self.tpu_coder
         B = z_sym.shape[0]
         lp, a_idx, ma_p, a_sym = self._dec_stage1(z_sym, y)
         _, n_idx, mn_p, n_sym = self._dec_stage2(lp, a_sym, ma_p, y)
-        extra_arr = (jnp.zeros((B, 0), jnp.uint8) if extra is None else extra)
-        blob = tc.encode_all_packed(z_sym, a_sym, a_idx, n_sym, n_idx,
-                                    extra_arr)
-        blob_np = jax.device_get(blob)  # the single device->host sync
-
-        n_z = int(np.prod(z_sym.shape[1:]))
-        n_y = int(np.prod(a_sym.shape[1:]))
-        metas = (tc.eb_meta(n_z), tc.gauss_meta(n_y), tc.gauss_meta(n_y))
-        (enc_z, enc_a, enc_n), extra_bytes = unpack_encs_host(blob_np, metas)
-        extra_np = (None if extra is None else np.ascontiguousarray(
-            extra_bytes).view(np.dtype(extra.dtype)).reshape(
-            B, *extra.shape[1:]))
+        enc_z, enc_a, enc_n = tc.encode_all(z_sym, a_sym, a_idx, n_sym, n_idx)
 
         try:
+            (enc_z, enc_a, enc_n), extra_np = pull_encs(
+                (enc_z, enc_a, enc_n), extra)
             z_strings = tc.frames_from_enc(enc_z)
             anchor_strings = tc.frames_from_enc(enc_a)
             nonanchor_strings = tc.frames_from_enc(enc_n)
         except OverflowError:
+            extra_np = None if extra is None else np.asarray(
+                jax.device_get(extra))
             z_strings = self._eb_encode(np.asarray(z_sym))
             anchor_strings = _encode_planes(
                 np.asarray(a_sym), np.asarray(a_idx), self.gauss_tables)

@@ -195,21 +195,17 @@ class ElicCodec(CodecBase):
             y_hat_slices.append(self._dec_combine(y_anchor_hat, n_sym, mn_p))
         enc_z = tc.encode_eb(z_sym)
 
-        from .codec import unpack_encs_host
+        from .codec import pull_encs
 
-        # ONE u8 wire buffer for all 11 planes: tunnel latency is per
-        # ARRAY and the unpacked pytree is 66 of them
-        blob = tc.pack_encs_jit(encs + [enc_z])
+        # all 11 planes ride one pull (one u8 wire blob at B==1; tiny
+        # size pull + bucket-sliced blob at B>=2 — see codec.py's
+        # two-phase notes; the unpacked pytree would otherwise be 66
+        # separate ~25 ms-latency transfers)
         t_enqueue = time.time() - t_start
-        blob_np = jax.device_get(blob)  # the single sync
-        t_sync = time.time() - t_start - t_enqueue
-        H, W = y.shape[1], y.shape[2]
-        metas = tuple(tc.gauss_meta(H * (W // 2) * g)
-                      for g in self.model.groups for _ in (0, 1)
-                      ) + (tc.eb_meta(int(np.prod(z_sym.shape[1:]))),)
-        unpacked, _ = unpack_encs_host(blob_np, metas)
-        encs, enc_z = unpacked[:-1], unpacked[-1]
         try:
+            unpacked, _ = pull_encs(encs + [enc_z])
+            t_sync = time.time() - t_start - t_enqueue
+            encs, enc_z = unpacked[:-1], unpacked[-1]
             y_strings = [tc.frames_from_enc(e) for e in encs]
             z_strings = tc.frames_from_enc(enc_z)
         except OverflowError:

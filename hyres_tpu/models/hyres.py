@@ -183,15 +183,34 @@ class HyresCodec:
 
         from ..jpeg.core import dequant_idct, upsample_420, ycbcr_to_rgb
 
-        @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+        @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
         def dec_final_packed(y_anchor_hat, n_sym, mn_p, coef_u8, qy, qc,
-                             itemsize: int, shapes, height: int, width: int):
+                             itemsize: int, shapes, height: int, width: int,
+                             sparse_cap: int | None = None):
             """Fully fused decode tail: the JPEG coefficients arrive as the
             raw byte slice that rode the coder's single upload (see
             codec.py packed wire format) — bitcast + split + dequant/IDCT
-            + residual synthesis + refine in ONE program."""
+            + residual synthesis + refine in ONE program.
+
+            sparse_cap: when set, the byte slice is a sparse coefficient
+            layout [pos i32 * cap][val i16 * cap] (positions padded with
+            n, dropped by the scatter) instead of the dense plane — JPEG
+            coefficients at production qualities are mostly zero, so the
+            sparse upload is several times smaller than even the int8
+            dense plane."""
             B = coef_u8.shape[0]
-            if itemsize == 1:
+            if sparse_cap is not None:
+                n_total = sum(int(np.prod(s[1:])) for s in shapes)
+                pos = jax.lax.bitcast_convert_type(
+                    coef_u8[:, : 4 * sparse_cap].reshape(B, sparse_cap, 4),
+                    jnp.int32)
+                val = jax.lax.bitcast_convert_type(
+                    coef_u8[:, 4 * sparse_cap: 6 * sparse_cap].reshape(
+                        B, sparse_cap, 2), jnp.int16)
+                coef = jax.vmap(
+                    lambda p, v: jnp.zeros((n_total,), jnp.int16)
+                    .at[p].set(v, mode="drop"))(pos, val)
+            elif itemsize == 1:
                 coef = jax.lax.bitcast_convert_type(coef_u8, jnp.int8)
             else:
                 coef = jax.lax.bitcast_convert_type(
@@ -250,7 +269,27 @@ class HyresCodec:
         flat = np.concatenate([c.reshape(len(planes), -1) for c in stacked],
                               axis=1)
         flat = flat.astype(np.int8 if np.abs(flat).max() <= 127 else np.int16)
-        flat_u8 = np.ascontiguousarray(flat).view(np.uint8)
+
+        # sparse vs dense upload: coefficients at production qualities are
+        # mostly zero, so [pos i32][val i16] pairs beat even the int8
+        # dense plane whenever nnz < n/6 (bucketed cap bounds recompiles)
+        from .codec import _COEF_BUCKET, _bucket
+
+        B, n = flat.shape
+        nnz = int((flat != 0).sum(axis=1).max()) if B else 0
+        cap = min(n, _bucket(nnz, _COEF_BUCKET))
+        sparse_cap = cap if 6 * cap < n * flat.dtype.itemsize else None
+        if sparse_cap is not None:
+            pos = np.full((B, sparse_cap), n, np.int32)
+            val = np.zeros((B, sparse_cap), np.int16)
+            for i in range(B):
+                (pi,) = np.nonzero(flat[i])
+                pos[i, : pi.size] = pi
+                val[i, : pi.size] = flat[i, pi]
+            flat_u8 = np.concatenate(
+                [pos.view(np.uint8), val.view(np.uint8)], axis=1)
+        else:
+            flat_u8 = np.ascontiguousarray(flat).view(np.uint8)
 
         # inline the residual codec's decode stages so the final program
         # fuses JPEG decode + residual synthesis + refinement
@@ -262,7 +301,8 @@ class HyresCodec:
             y_anchor_hat, n_sym, mn_p, d_coef,
             jnp.asarray(p0.qtables[0]), jnp.asarray(p0.qtables[1]),
             flat.dtype.itemsize,
-            tuple(tuple(s.shape) for s in stacked), p0.height, p0.width)
+            tuple(tuple(s.shape) for s in stacked), p0.height, p0.width,
+            sparse_cap)
         x_hat.block_until_ready()
         return {"x_hat": x_hat, "time": time.time() - start}
 

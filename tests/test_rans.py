@@ -121,3 +121,31 @@ def test_chunk_framing_portable_across_core_counts(rng_np, monkeypatch):
     monkeypatch.setattr(mcodec, "_MAX_CHUNKS", 4)
     np.testing.assert_array_equal(
         mcodec._decode_planes(single, idx, t)[0], sym[0])
+
+
+_CAI_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "..", "fixtures",
+    "compressai_streams.npz")
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(_CAI_FIXTURE),
+                    reason="CompressAI fixtures absent (zero-egress env); "
+                           "produce with scripts/egress_fixtures.py")
+def test_compressai_byte_interop():
+    """Byte-level cross-decode vs real CompressAI streams (SURVEY §7
+    hard-part 1). Activates when scripts/egress_fixtures.py has been run
+    in a networked environment."""
+    raw = np.load(_CAI_FIXTURE)
+    for i in range(int(raw["n_cases"])):
+        sym = raw[f"c{i}_symbols"]
+        idx = raw[f"c{i}_indexes"]
+        cdfs = raw[f"c{i}_cdfs"]
+        lengths = raw[f"c{i}_lengths"]
+        offsets = raw[f"c{i}_offsets"]
+        cai_stream = raw[f"c{i}_stream"].tobytes()
+        ours = RansEncoder().encode_with_indexes(
+            sym, idx, cdfs, lengths, offsets)
+        assert ours == cai_stream, f"case {i}: encode bytes differ"
+        out = RansDecoder(cai_stream).decode_stream(
+            idx, cdfs, lengths, offsets)
+        assert np.array_equal(out, sym), f"case {i}: decode mismatch"

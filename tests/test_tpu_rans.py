@@ -332,3 +332,43 @@ def test_gauss_analytic_rate_close_to_table_coder(ga, gauss_tables):
     got, data_t = _roundtrip(sym, idx, dev, lanes=64)
     np.testing.assert_array_equal(got, sym)
     assert len(data_a) <= len(data_t) * 1.01 + 64
+
+
+@pytest.mark.parametrize("dtype,density", [(np.int8, 0.02), (np.int16, 0.9)])
+def test_pull_encs_two_phase_extra_roundtrip(gauss_tables, dtype, density):
+    """pull_encs at B>=2 (the two-phase bucket-sliced pull) must return
+    host enc dicts that frame to the SAME bytes as full-cap downloads,
+    and reconstruct the extra payload exactly — through the sparse
+    (pos, val) compaction at low density and the dense path at high."""
+    from hyres_tpu.models.codec import pull_encs
+
+    _, dev = gauss_tables
+    rng = np.random.default_rng(7)
+    B, n = 3, 20000
+    idx = rng.integers(0, 64, (B, n)).astype(np.int32)
+    sigma = np.asarray(get_scale_table())[idx]
+    sym = np.round(rng.normal(0, sigma)).astype(np.int32)
+    lanes = 64
+
+    enc = jax.jit(jax.vmap(
+        lambda s, i: tpu_rans.rans_encode(s, i, dev, lanes)))(
+        jnp.asarray(sym), jnp.asarray(idx))
+
+    extra = (rng.random((B, 4096)) < density) * rng.integers(
+        -100, 100, (B, 4096))
+    extra = jnp.asarray(extra.astype(dtype))
+
+    encs_host, extra_np = pull_encs([enc], extra)
+    np.testing.assert_array_equal(extra_np, np.asarray(extra))
+
+    # frames from the sliced pull == frames from full-cap device_get
+    full = jax.device_get(enc)
+    for i in range(B):
+        sliced = tpu_rans.frame_plane(
+            encs_host[0]["states"][i], encs_host[0]["stream"][i],
+            int(encs_host[0]["n_renorm"][i]), encs_host[0]["esc_pos"][i],
+            encs_host[0]["esc_val"][i], int(encs_host[0]["n_esc"][i]))
+        ref = tpu_rans.frame_plane(
+            full["states"][i], full["stream"][i], int(full["n_renorm"][i]),
+            full["esc_pos"][i], full["esc_val"][i], int(full["n_esc"][i]))
+        assert sliced == ref
