@@ -47,6 +47,11 @@ import jax.numpy as jnp
 import numpy as np
 
 RENORM_BASE = np.uint32(1 << 16)
+# scan bodies are a few hundred cheap VPU ops; the serial chain's floor
+# is the per-iteration while-loop overhead, so unrolling several symbols
+# per iteration amortizes it without changing any math (same jaxpr per
+# step, bit-identical outputs)
+SCAN_UNROLL = 8
 ESC_MAX = 256          # side-list capacity; more escapes -> host fallback
 DEFAULT_LANES = 256
 Z_LANES = 64
@@ -252,7 +257,7 @@ def _encode_scan_core(sym_tl: jax.Array, start: jax.Array, freq_f: jax.Array,
 
     init = jnp.full((lanes,), RENORM_BASE, jnp.uint32)
     states, (emit_tl, mask_tl) = jax.lax.scan(
-        step, init, (start, freq, rcp), reverse=True)
+        step, init, (start, freq, rcp), reverse=True, unroll=SCAN_UNROLL)
 
     # compact the renorm stream in decoder read order (step asc, lane asc)
     # into a capped buffer (overflow detected at framing time)
@@ -356,7 +361,7 @@ def rans_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
         return (state, ptr), slot.astype(jnp.uint16)
 
     init = (states.astype(jnp.uint32), jnp.uint32(0))
-    _, slot_tl = jax.lax.scan(step, init, base_tl)
+    _, slot_tl = jax.lax.scan(step, init, base_tl, unroll=SCAN_UNROLL)
 
     # bulk symbol recovery, gather-free: the bin index is how many CDF
     # bounds lie at or below the slot (the row's bounds come from one
@@ -538,7 +543,7 @@ def gauss_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
         return (state, ptr), (lo - c).astype(jnp.int32)
 
     init = (states.astype(jnp.uint32), jnp.uint32(0))
-    _, sym_tl = jax.lax.scan(step, init, P)
+    _, sym_tl = jax.lax.scan(step, init, P, unroll=SCAN_UNROLL)
     sym_flat = sym_tl.reshape(-1)
     # substitute escaped values (side list; padding positions drop)
     sym_flat = sym_flat.at[esc_pos].set(esc_val, mode="drop")

@@ -108,7 +108,9 @@ class Cheng2020Codec(CodecBase):
             tc = self.tpu_coder
             encs = tc.encode_all(z_sym, a_sym, a_idx, n_sym, n_idx)
             try:
-                (enc_z, enc_a, enc_n), _ = pull_encs(encs)
+                (enc_z, enc_a, enc_n), _ = pull_encs(
+                    encs, cap_state=self.__dict__.setdefault(
+                        "_enc_cap_state", {}))
                 # TPU mode: the two passes are separate per-image frame
                 # LISTS (like the checkerboard layout) instead of the
                 # reference's single flushed stream; decode dispatches on

@@ -314,24 +314,25 @@ def upload_frames(unframed: Sequence[Tuple], extra: np.ndarray | None = None):
             d_extra if extra is not None else None)
 
 
-# -- two-phase encode pull ----------------------------------------------
+# -- sliced encode pulls -------------------------------------------------
 #
-# The single-sync encode pull ships every plane at its worst-case cap
+# The naive encode pull ships every plane at its worst-case cap
 # (stream_cap) plus dense `extra` payload — ~10x the real bytes on
-# trained stats, and D2H over the tunnel runs only ~20-40 MB/s. For
-# batches >= 2 the pull is split: phase 1 downloads a tiny per-image
-# size vector (one ~25 ms sync), the host computes bucketed slice plans,
-# and phase 2 downloads a blob with streams/escape lists sliced to the
-# bucketed ACTUAL lengths and `extra` (HyRES's JPEG coefficients)
-# compacted to sparse (pos, val) pairs when that wins. The second fixed
-# sync costs ~25 ms and buys back hundreds of ms of cap padding at
-# batch 8. Overflows (stream cap / escape list) are visible in the size
-# vector, so the host falls back to the host coder BEFORE paying the
-# big pull.
+# trained stats, and D2H over the tunnel runs only ~20-40 MB/s, with a
+# fixed ~25 ms cost PER sync. pull_encs therefore slices the blob to
+# (bucketed) actual lengths, learning the sizes one of three ways:
+# speculatively from per-codec high-water marks (steady state: ONE sync
+# of near-actual bytes, self-validating via a size vector that rides
+# the blob), from a dedicated tiny size pull (first batched call), or
+# not at all (first single-image call: full caps cost less than a
+# second sync). `extra` (HyRES's JPEG coefficients) rides the same blob,
+# compacted to sparse (pos, val) pairs when that wins. Overflows
+# (stream cap / escape list) are always visible in a size vector before
+# any frame is assembled, so the host-coder fallback never pays a
+# garbage pull.
 
 
-@jax.jit
-def _sizes_jit(encs, extra):
+def _sizes_cols(encs, extra):
     """(B, 2P+1) i32: per plane [n_renorm, n_esc], then nnz(extra)."""
     cols = []
     for e in encs:
@@ -341,17 +342,26 @@ def _sizes_jit(encs, extra):
     return jnp.stack(cols, axis=1)
 
 
+_sizes_jit = jax.jit(_sizes_cols)
+
+
 @jax.jit
 def _pack_full_jit(encs, extra):
     return pack_encs(encs, extra)
 
 
-@functools.partial(jax.jit, static_argnames=("slices", "coef_cap"))
-def _pack_sliced_jit(encs, extra, slices, coef_cap):
+@functools.partial(jax.jit,
+                   static_argnames=("slices", "coef_cap", "with_sizes"))
+def _pack_sliced_jit(encs, extra, slices, coef_cap, with_sizes=False):
     """pack_encs with per-plane (stream_len, esc_len) slicing; extra is
     appended dense (coef_cap None) or as sparse (pos i32, val i16)
-    compacted pairs (coef_cap entries, positions padded with n)."""
+    compacted pairs (coef_cap entries, positions padded with n).
+    with_sizes prepends the (B, 2P+1) i32 size vector so a SPECULATIVE
+    pull can validate its slice plan from the blob itself (see
+    pull_encs)."""
     parts = []
+    if with_sizes:
+        parts.append(_dev_u8(_sizes_cols(encs, extra)))
     for e, (sl, el) in zip(encs, slices):
         parts += [_dev_u8(e["states"]),
                   _dev_u8(e["n_renorm"].reshape(-1, 1)),
@@ -378,10 +388,11 @@ def _pack_sliced_jit(encs, extra, slices, coef_cap):
     return jnp.concatenate(parts, axis=1)
 
 
-def _unpack_sliced_host(blob: np.ndarray, plans, extra_info):
+def _unpack_sliced_host(blob: np.ndarray, plans, extra_info,
+                        with_sizes: bool = False):
     """Inverse of _pack_sliced_jit. plans: per-plane (lanes, sl, el).
     extra_info: None or (np_dtype, per_image_n, coef_cap_or_None).
-    Returns (encs, dense extra np or None)."""
+    Returns (encs, dense extra np or None, sizes or None)."""
     off = 0
     B = blob.shape[0]
 
@@ -391,6 +402,7 @@ def _unpack_sliced_host(blob: np.ndarray, plans, extra_info):
         off += nbytes
         return out
 
+    sizes = view(4 * (2 * len(plans) + 1), np.int32) if with_sizes else None
     encs = []
     for lanes, sl, el in plans:
         encs.append({
@@ -415,61 +427,142 @@ def _unpack_sliced_host(blob: np.ndarray, plans, extra_info):
             for i in range(B):
                 m = pos[i] < n
                 extra_np[i, pos[i][m]] = val[i][m]
-    return encs, extra_np
+    return encs, extra_np, sizes
 
 
-def pull_encs(encs: Sequence[Dict], extra: jax.Array | None = None):
+def _check_true_overflow(sizes: np.ndarray, caps: Sequence[int]) -> None:
+    for p, cap in enumerate(caps):
+        n_renorm = int(sizes[:, 2 * p].max())
+        n_esc = int(sizes[:, 2 * p + 1].max())
+        if n_renorm > cap or n_esc >= min(tpu_rans.ESC_MAX + 1, 256):
+            raise OverflowError(
+                f"plane {p}: renorm {n_renorm}/{cap} or escapes "
+                f"{n_esc} overflow")
+
+
+def _exact_plans(sizes: np.ndarray, lanes_l: Sequence[int],
+                 caps: Sequence[int]):
+    plans = []
+    for p, cap in enumerate(caps):
+        sl = min(cap, _bucket(int(sizes[:, 2 * p].max()), _STREAM_BUCKET))
+        ne = int(sizes[:, 2 * p + 1].max())
+        el = 0 if ne == 0 else min(tpu_rans.ESC_MAX, _bucket(ne, _ESC_BUCKET))
+        plans.append((lanes_l[p], sl, el))
+    return plans
+
+
+def pull_encs(encs: Sequence[Dict], extra: jax.Array | None = None,
+              cap_state: dict | None = None):
     """Download a tuple/list of device encoder-output dicts (+ optional
-    dense `extra` payload) over the tunnel; see the two-phase notes
-    above. Raises OverflowError (before the big pull) when any plane
-    overflowed its stream cap or escape list — callers already treat
-    that as "re-frame with the host coder". Returns (host enc dicts,
-    extra as a dense (B, n) numpy array or None)."""
+    dense `extra` payload) over the tunnel. Raises OverflowError when any
+    plane overflowed its stream cap or escape list — callers already
+    treat that as "re-frame with the host coder". Returns (host enc
+    dicts, extra as a dense (B, n) numpy array or None).
+
+    Pull strategy (tunnel syncs cost ~25 ms EACH; cap padding is ~10x
+    the real bytes at ~20-40 MB/s):
+
+    - cap_state with a recorded high-water mark -> SPECULATIVE
+      single-sync pull: slice every plane to hwm*margin, ride the
+      per-image size vector in the blob, validate on arrival; a miss
+      re-pulls once with exact slices (sizes are then known). Steady
+      state = ONE sync of near-actual bytes at ANY batch size.
+    - first call, B == 1 -> one full-cap pull (the padding costs less
+      than a second sync would).
+    - first call, B >= 2 -> two-phase: tiny size pull, then an
+      exact-sliced blob (full caps at batch size would be many MB).
+
+    cap_state is a per-codec dict (mutated here) keyed by the plane
+    signature, so shapes/orientations track separate high-water marks.
+    """
     B = int(encs[0]["states"].shape[0])
+    encs = list(encs)
     extra_arr = (jnp.zeros((B, 0), jnp.uint8) if extra is None
                  else extra.reshape(B, -1))
-    if B == 1:
-        blob_np = _device_get_counted(_pack_full_jit(list(encs), extra_arr))
-        metas = [(e["states"].shape[1], e["stream"].shape[1]) for e in encs]
-        out, extra_bytes = unpack_encs_host(blob_np, metas)
+    lanes_l = [int(e["states"].shape[1]) for e in encs]
+    caps = [int(e["stream"].shape[1]) for e in encs]
+    dt = None if extra is None else np.dtype(extra.dtype)
+    n_extra = 0 if extra is None else int(np.prod(extra.shape[1:]))
+    sig = (tuple(zip(lanes_l, caps)), n_extra,
+           None if dt is None else dt.str)
+    st = None if cap_state is None else cap_state.get(sig)
+
+    def coef_cap_for(nnz_max: int):
         if extra is None:
-            return out, None
-        dt = np.dtype(extra.dtype)
-        return out, np.ascontiguousarray(extra_bytes).view(dt).reshape(
-            (B,) + tuple(extra.shape[1:]))
+            return None, None
+        cap_nz = min(n_extra, _bucket(nnz_max, _COEF_BUCKET))
+        cc = cap_nz if 6 * cap_nz < n_extra * dt.itemsize else None
+        return cc, (dt, n_extra, cc)
 
-    sizes = np.asarray(_device_get_counted(_sizes_jit(list(encs), extra_arr)))
-    plans = []
-    for p, e in enumerate(encs):
-        n_renorm = sizes[:, 2 * p]
-        n_esc = sizes[:, 2 * p + 1]
-        cap = int(e["stream"].shape[1])
-        if n_renorm.max() > cap or n_esc.max() >= min(
-                tpu_rans.ESC_MAX + 1, 256):
-            raise OverflowError(
-                f"plane {p}: renorm {int(n_renorm.max())}/{cap} or escapes "
-                f"{int(n_esc.max())} overflow")
-        sl = min(cap, _bucket(int(n_renorm.max()), _STREAM_BUCKET))
-        el = (0 if n_esc.max() == 0 else
-              min(tpu_rans.ESC_MAX, _bucket(int(n_esc.max()), _ESC_BUCKET)))
-        plans.append((int(e["states"].shape[1]), sl, el))
+    def finalize(out, extra_np, sizes):
+        if cap_state is not None and sizes is not None:
+            prev = cap_state.get(sig) or {"streams": [0] * len(encs),
+                                          "escs": [0] * len(encs), "nnz": 0}
+            cap_state[sig] = {
+                "streams": [max(prev["streams"][p],
+                                int(sizes[:, 2 * p].max()))
+                            for p in range(len(encs))],
+                "escs": [max(prev["escs"][p], int(sizes[:, 2 * p + 1].max()))
+                         for p in range(len(encs))],
+                "nnz": max(prev["nnz"], int(sizes[:, -1].max())),
+            }
+        if extra is not None and extra_np is not None:
+            extra_np = np.ascontiguousarray(extra_np).view(dt).reshape(
+                (B,) + tuple(extra.shape[1:]))
+        return out, extra_np
 
-    extra_info = None
-    coef_cap = None
-    if extra is not None:
-        dt = np.dtype(extra.dtype)
-        n = int(np.prod(extra.shape[1:]))
-        cap_nz = min(n, _bucket(int(sizes[:, -1].max()), _COEF_BUCKET))
-        coef_cap = cap_nz if 6 * cap_nz < n * dt.itemsize else None
-        extra_info = (dt, n, coef_cap)
-    blob_np = _device_get_counted(_pack_sliced_jit(
-        list(encs), extra_arr, slices=tuple((sl, el) for _, sl, el in plans),
-        coef_cap=coef_cap))
-    out, extra_np = _unpack_sliced_host(
-        blob_np, plans, extra_info)
-    if extra is not None and extra_np is not None:
-        extra_np = extra_np.reshape((B,) + tuple(extra.shape[1:]))
-    return out, extra_np
+    def exact_repull(sizes):
+        _check_true_overflow(sizes, caps)
+        plans = _exact_plans(sizes, lanes_l, caps)
+        cc, extra_info = coef_cap_for(int(sizes[:, -1].max()))
+        blob = _device_get_counted(_pack_sliced_jit(
+            encs, extra_arr, slices=tuple((sl, el) for _, sl, el in plans),
+            coef_cap=cc))
+        out, extra_np, _ = _unpack_sliced_host(blob, plans, extra_info)
+        return finalize(out, extra_np, sizes)
+
+    if st is not None:
+        # speculative single-sync pull against the high-water marks
+        plans = []
+        for p, cap in enumerate(caps):
+            sl = min(cap, _bucket(st["streams"][p] * 5 // 4 + 512,
+                                  _STREAM_BUCKET))
+            el = (0 if st["escs"][p] == 0 else
+                  min(tpu_rans.ESC_MAX,
+                      _bucket(st["escs"][p] + 8, _ESC_BUCKET)))
+            plans.append((lanes_l[p], sl, el))
+        cc, extra_info = coef_cap_for(st["nnz"] * 5 // 4 + 64)
+        blob = _device_get_counted(_pack_sliced_jit(
+            encs, extra_arr, slices=tuple((sl, el) for _, sl, el in plans),
+            coef_cap=cc, with_sizes=True))
+        out, extra_np, sizes = _unpack_sliced_host(
+            blob, plans, extra_info, with_sizes=True)
+        _check_true_overflow(sizes, caps)
+        fits = all(
+            int(sizes[:, 2 * p].max()) <= plans[p][1]
+            and int(sizes[:, 2 * p + 1].max()) <= plans[p][2]
+            for p in range(len(encs))
+        ) and (cc is None or int(sizes[:, -1].max()) <= cc)
+        if fits:
+            return finalize(out, extra_np, sizes)
+        return exact_repull(sizes)  # rare: stats moved past the hwm
+
+    if B == 1:
+        blob_np = _device_get_counted(_pack_full_jit(encs, extra_arr))
+        metas = [(lanes_l[p], caps[p]) for p in range(len(encs))]
+        out, extra_bytes = unpack_encs_host(blob_np, metas)
+        # sizes for the hwm from the pulled fields themselves
+        nnz = 0
+        if extra is not None:
+            flat = np.ascontiguousarray(extra_bytes).view(dt)
+            nnz = int((flat != 0).sum(axis=1).max())
+        sizes = np.stack(
+            [c for e in out for c in (e["n_renorm"], e["n_esc"])]
+            + [np.full(B, nnz, np.int32)], axis=1)
+        return finalize(out, None if extra is None else extra_bytes, sizes)
+
+    sizes = np.asarray(_device_get_counted(_sizes_jit(encs, extra_arr)))
+    return exact_repull(sizes)
 
 
 class TpuPlaneCoder:
@@ -756,7 +849,8 @@ class CheckerboardCodec(CodecBase):
 
         try:
             (enc_z, enc_a, enc_n), extra_np = pull_encs(
-                (enc_z, enc_a, enc_n), extra)
+                (enc_z, enc_a, enc_n), extra,
+                cap_state=self.__dict__.setdefault("_enc_cap_state", {}))
             z_strings = tc.frames_from_enc(enc_z)
             anchor_strings = tc.frames_from_enc(enc_a)
             nonanchor_strings = tc.frames_from_enc(enc_n)

@@ -203,7 +203,9 @@ class ElicCodec(CodecBase):
         # separate ~25 ms-latency transfers)
         t_enqueue = time.time() - t_start
         try:
-            unpacked, _ = pull_encs(encs + [enc_z])
+            unpacked, _ = pull_encs(
+                encs + [enc_z], cap_state=self.__dict__.setdefault(
+                    "_enc_cap_state", {}))
             t_sync = time.time() - t_start - t_enqueue
             encs, enc_z = unpacked[:-1], unpacked[-1]
             y_strings = [tc.frames_from_enc(e) for e in encs]

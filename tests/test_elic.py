@@ -78,3 +78,7 @@ def test_tpu_coder_roundtrip_matches_host(elic_small):
     # cross-decode: tpu codec detects host-framed payloads and falls back
     c = np.asarray(tpu.decompress(ch["strings"], ch["shape"])["x_hat"])
     np.testing.assert_array_equal(a, c)
+    # second call rides the speculative hwm-sliced pull (ELIC's 11-plane
+    # layout); frames must be byte-identical to the first exact pull
+    ct2 = tpu.compress(x)
+    assert ct2["strings"] == ct["strings"]

@@ -310,3 +310,37 @@ def test_hyres_batched_tpu_coder_sparse_coef_roundtrip(hyres_small):
     out_h = host.decompress(comp_h)
     np.testing.assert_allclose(np.asarray(out["x_hat"]),
                                np.asarray(out_h["x_hat"]), atol=1e-6)
+
+
+def test_speculative_pull_consistency(small_model):
+    """Repeated compress calls switch to the speculative single-sync
+    sliced pull (cap_state high-water marks). Frames must be
+    byte-identical to a fresh codec's first-call pull for the same
+    input, and a hotter input (hwm miss -> exact re-pull) must still
+    frame correctly."""
+    model, params = small_model
+    x_cold = jax.random.uniform(jax.random.key(20), (2, 64, 64, 3)) * 0.2
+    x_hot = jax.random.uniform(jax.random.key(21), (2, 64, 64, 3))
+
+    tpu = CheckerboardCodec(model, params, coder="tpu")
+    tpu.update(force=True)
+    c1 = tpu.compress(x_cold)          # first call: two-phase
+    c2 = tpu.compress(x_cold)          # speculative hit
+    assert c1["strings"][0][0] == c2["strings"][0][0]
+    assert c1["strings"][1] == c2["strings"][1]
+    assert tpu._enc_cap_state, "cap_state not recorded"
+
+    c3 = tpu.compress(x_hot)           # likely hwm miss -> exact re-pull
+    fresh = CheckerboardCodec(model, params, coder="tpu")
+    fresh.update(force=True)
+    c3_ref = fresh.compress(x_hot)
+    assert c3["strings"][0][0] == c3_ref["strings"][0][0]
+    assert c3["strings"][0][1] == c3_ref["strings"][0][1]
+    assert c3["strings"][1] == c3_ref["strings"][1]
+
+    # single-image: full-cap first, speculative after
+    y1 = tpu.compress(x_cold[:1])
+    y2 = tpu.compress(x_cold[:1])
+    assert y1["strings"][1] == y2["strings"][1]
+    dec = tpu.decompress(y2["strings"], y2["shape"])
+    assert np.all(np.isfinite(np.asarray(dec["x_hat"])))
