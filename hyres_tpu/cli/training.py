@@ -133,7 +133,8 @@ def main(argv=None):
     params = model.init(jax.random.key(0), jnp.zeros(init_shape),
                         noisequant=True, rng=jax.random.key(1))
     n_params = sum(p.size for p in jax.tree.leaves(params))
-    print(f"model: N={args.N} M={args.M} q={args.jpeg_quality} "
+    print(f"model: N={model.N} M={getattr(model, 'M', model.N)} "
+          f"q={args.jpeg_quality} "
           f"({n_params/1e6:.2f}M params) devices={jax.device_count()}")
 
     main_tx, aux_tx = configure_optimizers(
