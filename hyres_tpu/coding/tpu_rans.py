@@ -40,6 +40,7 @@ The per-lane state flush is the real rate overhead of lane-parallelism
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -185,6 +186,39 @@ def _prefix_matrix(lanes: int) -> jax.Array:
         prefix[i, i + 1:] = 1.0  # strictly-upper: rank[j] = sum_{i<j} need[i]
     prefix[:, lanes] = 1.0
     return jnp.asarray(prefix)
+
+
+# Renorm stream reads are CONSECUTIVE: the lanes that renorm on a given
+# step read stream[ptr], stream[ptr+1], ... in lane order. A per-step
+# jnp.take from the full stream scalarizes on TPU (~25 ns/element ->
+# ~6.4 us per 256-lane step — the decode latency floor). Default mode
+# "slice" instead does ONE contiguous dynamic slice of `lanes` u16s at
+# ptr (a single small DMA) and routes win[rank] to each lane with an
+# exact one-hot matvec (values < 2^16, exact in f32 at HIGHEST).
+# HYRES_STREAM_READ=gather restores the old lowering for A/B timing.
+STREAM_READ = os.environ.get("HYRES_STREAM_READ", "slice")
+
+
+def _pad_stream(stream: jax.Array, lanes: int) -> jax.Array:
+    """Pad so the in-scan dynamic slice never clamps (ptr <= len)."""
+    return jnp.concatenate(
+        [stream, jnp.zeros((lanes,), stream.dtype)])
+
+
+def _stream_read(stream_pad: jax.Array, ptr: jax.Array, rank_f: jax.Array,
+                 lanes: int) -> jax.Array:
+    """(lanes,) u32 renorm reads at stream_pad[ptr + rank] (masked lanes
+    read arbitrary in-bounds data; callers mask by `need`)."""
+    if STREAM_READ == "gather":
+        rank = rank_f.astype(jnp.uint32)
+        return jnp.take(stream_pad, ptr + rank, mode="clip").astype(
+            jnp.uint32)
+    win = jax.lax.dynamic_slice_in_dim(
+        stream_pad, ptr.astype(jnp.int32), lanes)
+    oh = (rank_f[:, None] == jnp.arange(lanes, dtype=jnp.float32)[None, :]
+          ).astype(jnp.float32)
+    return jnp.matmul(oh, win.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST).astype(jnp.uint32)
 
 
 def lanes_for(n: int) -> int:
@@ -343,6 +377,7 @@ def rans_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
     base_tl = idx_tl.astype(jnp.uint32) << 16  # LUT row base, outside scan
 
     prefix_m = _prefix_matrix(lanes)
+    stream_pad = _pad_stream(stream, lanes)
 
     def step(carry, base):
         state, ptr = carry
@@ -354,8 +389,7 @@ def rans_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
         need = (state < RENORM_BASE).astype(jnp.float32)
         rankx = jnp.matmul(need, prefix_m,
                            precision=jax.lax.Precision.HIGHEST)
-        rank = rankx[:lanes].astype(jnp.uint32)
-        read = jnp.take(stream, ptr + rank, mode="clip").astype(jnp.uint32)
+        read = _stream_read(stream_pad, ptr, rankx[:lanes], lanes)
         state = jnp.where(need > 0, (state << 16) | read, state)
         ptr = ptr + rankx[lanes].astype(jnp.uint32)
         return (state, ptr), slot.astype(jnp.uint16)
@@ -505,6 +539,7 @@ def gauss_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
     P = _lookup(_row_onehot(idx_tl.reshape(-1), rows),
                 ga.params).reshape(T, lanes, 8)
     prefix_m = _prefix_matrix(lanes)
+    stream_pad = _pad_stream(stream, lanes)
     n_iters = max(1, int(np.ceil(np.log2(
         2.0 * np.ceil(SUPPORT_SIGMAS * 256.0) + 2.0))))
 
@@ -536,8 +571,7 @@ def gauss_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
         need = (state < RENORM_BASE).astype(jnp.float32)
         rankx = jnp.matmul(need, prefix_m,
                            precision=jax.lax.Precision.HIGHEST)
-        rank = rankx[:lanes].astype(jnp.uint32)
-        read = jnp.take(stream, ptr + rank, mode="clip").astype(jnp.uint32)
+        read = _stream_read(stream_pad, ptr, rankx[:lanes], lanes)
         state = jnp.where(need > 0, (state << 16) | read, state)
         ptr = ptr + rankx[lanes].astype(jnp.uint32)
         return (state, ptr), (lo - c).astype(jnp.int32)
