@@ -187,17 +187,24 @@ def main(argv=None):
         # averages meaningless; the reference times a warm model)
         from ..train import load_image
 
+        # warm EVERY file once (roundtrip), twice for the first file of
+        # each shape: the first call of a shape pulls at full caps (no
+        # high-water mark yet) and the second exercises the SPECULATIVE
+        # sliced pull; later files can still hit a new stream-size
+        # bucket, whose decode program would otherwise compile/cache-load
+        # inside its timed decode. One extra pass over <=24 images costs
+        # seconds and makes every timed row a warm-model measurement.
         seen = set()
         for f in files:
+            reps = 1 if jnp.asarray(load_image(f)).shape in seen else 2
             x = jnp.asarray(load_image(f))
-            if x.shape in seen:
-                continue
             seen.add(x.shape)
-            comp = codec.compress(x)
-            dec = (codec.decompress(comp) if "jpeg_buffers" in comp
-                   else codec.decompress(comp["strings"], comp["shape"],
-                                         comp.get("size")))
-            jax.block_until_ready(dec["x_hat"])
+            for _ in range(reps):
+                comp = codec.compress(x)
+                dec = (codec.decompress(comp) if "jpeg_buffers" in comp
+                       else codec.decompress(comp["strings"], comp["shape"],
+                                             comp.get("size")))
+                jax.block_until_ready(dec["x_hat"])
 
     prof = (jax.profiler.trace(args.profile) if args.profile
             else contextlib.nullcontext())

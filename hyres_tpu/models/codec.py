@@ -215,16 +215,24 @@ def _enc_plane_nbytes(lanes: int, cap: int) -> int:
     return 4 * lanes + 8 + 8 * tpu_rans.ESC_MAX + 2 * cap
 
 
-# wire-size bucketing granularities: phase-B slices and decode uploads
-# round actual lengths UP to these multiples so the transfer rides near
-# the true payload size while the jits compile only a handful of shapes
+# wire-size bucketing bases: phase-B slices and decode uploads round
+# actual lengths UP geometrically (base * 2^k) so only O(log(cap/base))
+# distinct wire/decode programs can ever exist per plane geometry. A
+# fresh jit through the tunnel costs SECONDS (the decode scan recompiles
+# whole); the <=2x zero padding rides the wire at ~30 MB/s (a few ms).
+# Linear 4 KB buckets (round 2) looked tighter but made mid-run rate
+# drift recompile the decode scan 4-14 s per new bucket combination.
 _STREAM_BUCKET = 4096   # u16 renorm-stream entries (8 KB)
-_ESC_BUCKET = 16        # escape side-list entries
 _COEF_BUCKET = 4096     # sparse-extra (pos, val) entries
 
 
 def _bucket(n: int, g: int) -> int:
-    return max(g, -(-int(n) // g) * g)
+    """Smallest g * 2^k >= n (geometric bucket)."""
+    m = g
+    n = int(n)
+    while m < n:
+        m *= 2
+    return m
 
 
 def unpack_encs_host(blob: np.ndarray, metas: Sequence[Tuple[int, int]]):
@@ -446,7 +454,10 @@ def _exact_plans(sizes: np.ndarray, lanes_l: Sequence[int],
     for p, cap in enumerate(caps):
         sl = min(cap, _bucket(int(sizes[:, 2 * p].max()), _STREAM_BUCKET))
         ne = int(sizes[:, 2 * p + 1].max())
-        el = 0 if ne == 0 else min(tpu_rans.ESC_MAX, _bucket(ne, _ESC_BUCKET))
+        # escapes ship full-list or not at all (2 KB when present, rare
+        # at trained stats): a graded esc length would multiply the set
+        # of compiled pack-program shapes for no meaningful wire saving
+        el = 0 if ne == 0 else tpu_rans.ESC_MAX
         plans.append((lanes_l[p], sl, el))
     return plans
 
@@ -527,9 +538,7 @@ def pull_encs(encs: Sequence[Dict], extra: jax.Array | None = None,
         for p, cap in enumerate(caps):
             sl = min(cap, _bucket(st["streams"][p] * 5 // 4 + 512,
                                   _STREAM_BUCKET))
-            el = (0 if st["escs"][p] == 0 else
-                  min(tpu_rans.ESC_MAX,
-                      _bucket(st["escs"][p] + 8, _ESC_BUCKET)))
+            el = 0 if st["escs"][p] == 0 else tpu_rans.ESC_MAX
             plans.append((lanes_l[p], sl, el))
         cc, extra_info = coef_cap_for(st["nnz"] * 5 // 4 + 64)
         blob = _device_get_counted(_pack_sliced_jit(
