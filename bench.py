@@ -139,11 +139,17 @@ def main():
             batch = jnp.asarray(np.stack([
                 np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
                 for p in wide]))
-            jax.block_until_ready(codec.inference(batch)["x_hat"])  # warm
+            # warm TWICE: the first batch call seeds the encode pull's
+            # high-water marks, the second compiles/loads the SPECULATIVE
+            # sliced-pull program — otherwise that lands in the timed call
+            for _ in range(2):
+                jax.block_until_ready(codec.inference(batch)["x_hat"])
             t0 = time.time()
-            rb = codec.inference(batch)
-            jax.block_until_ready(rb["x_hat"])
-            bt = time.time() - t0
+            reps = 2
+            for _ in range(reps):
+                rb = codec.inference(batch)
+                jax.block_until_ready(rb["x_hat"])
+            bt = (time.time() - t0) / reps
             print(f"bench side-info: batched throughput {len(wide)} images "
                   f"in {bt:.3f}s = {bt / len(wide):.4f} s/image",
                   file=sys.stderr)
