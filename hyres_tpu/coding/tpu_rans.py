@@ -195,14 +195,69 @@ def _prefix_matrix(lanes: int) -> jax.Array:
 # "slice" instead does ONE contiguous dynamic slice of `lanes` u16s at
 # ptr (a single small DMA) and routes win[rank] to each lane with an
 # exact one-hot matvec (values < 2^16, exact in f32 at HIGHEST).
+# Mode "shift" replaces that matvec with a log2(lanes)-round butterfly
+# select-gather (pure VPU — no MXU op on the scan's critical path; see
+# _route_monotone for the exactness argument).
 # HYRES_STREAM_READ=gather restores the old lowering for A/B timing.
 STREAM_READ = os.environ.get("HYRES_STREAM_READ", "slice")
+
+# Exclusive prefix-sum over the lane renorm mask: "matmul" (default) is
+# one (lanes, lanes+1) f32 matvec on the MXU; "ladder" is a Hillis-Steele
+# shift-add inclusive scan (log2(lanes) VPU rounds) — exact for the same
+# reason (counts <= lanes << 2^24 in f32). A/B knob for the scan-step
+# latency: a small matmul inside a serial scan pays MXU issue latency
+# every step, the ladder stays on the VPU.
+PREFIX_MODE = os.environ.get("HYRES_PREFIX", "matmul")
 
 
 def _pad_stream(stream: jax.Array, lanes: int) -> jax.Array:
     """Pad so the in-scan dynamic slice never clamps (ptr <= len)."""
     return jnp.concatenate(
         [stream, jnp.zeros((lanes,), stream.dtype)])
+
+
+def _rank_total(need_f: jax.Array, prefix_m: jax.Array,
+                lanes: int) -> Tuple[jax.Array, jax.Array]:
+    """need_f (lanes,) f32 0/1 -> (exclusive rank (lanes,) f32, total f32).
+
+    PREFIX_MODE selects the lowering; both are exact in f32 (integer
+    counts <= lanes)."""
+    if PREFIX_MODE == "ladder":
+        incl = need_f
+        d = 1
+        while d < lanes:
+            incl = incl + jnp.concatenate(
+                [jnp.zeros((d,), incl.dtype), incl[:-d]])
+            d *= 2
+        return incl - need_f, incl[lanes - 1]
+    rankx = jnp.matmul(need_f, prefix_m,
+                       precision=jax.lax.Precision.HIGHEST)
+    return rankx[:lanes], rankx[lanes]
+
+
+def _route_monotone(win: jax.Array, rank_f: jax.Array,
+                    lanes: int) -> jax.Array:
+    """out[j] = win[rank_j] for a MONOTONE rank (exclusive prefix of a
+    0/1 mask: rank_{j+1} - rank_j in {0,1}, rank_j <= j), as a
+    log2(lanes)-round butterfly select-gather — pure VPU, no MXU.
+
+    Exactness: with d_j = j - rank_j (nondecreasing, unit steps), apply
+    displacement bits MSB->LSB: x_j <- x_{j-2^b} iff bit b of d_j. The
+    induction needs hi-bits(d_{j-2^b}) == hi-bits(d_j) whenever bit b of
+    d_j is set, which holds because d_{j-2^b} lies in [d_j - 2^b, d_j]
+    and that whole interval shares the same bits above b. Lanes with
+    j < 2^b never have bit b set (d_j <= j), so the shift's zero-fill is
+    never selected. Guarded bit-exact vs the one-hot matvec in
+    tests/test_tpu_rans.py."""
+    d = jnp.arange(lanes, dtype=jnp.float32) - rank_f
+    x = win.astype(jnp.float32)
+    b = 1 << (lanes.bit_length() - 2) if lanes > 1 else 0  # highest bit < lanes
+    while b >= 1:
+        shifted = jnp.concatenate([jnp.zeros((b,), x.dtype), x[:-b]])
+        take = jnp.floor(d / b) % 2.0 >= 1.0
+        x = jnp.where(take, shifted, x)
+        b >>= 1
+    return x.astype(jnp.uint32)
 
 
 def _stream_read(stream_pad: jax.Array, ptr: jax.Array, rank_f: jax.Array,
@@ -215,6 +270,8 @@ def _stream_read(stream_pad: jax.Array, ptr: jax.Array, rank_f: jax.Array,
             jnp.uint32)
     win = jax.lax.dynamic_slice_in_dim(
         stream_pad, ptr.astype(jnp.int32), lanes)
+    if STREAM_READ == "shift":
+        return _route_monotone(win, rank_f, lanes)
     oh = (rank_f[:, None] == jnp.arange(lanes, dtype=jnp.float32)[None, :]
           ).astype(jnp.float32)
     return jnp.matmul(oh, win.astype(jnp.float32),
@@ -387,11 +444,10 @@ def rans_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
         # one gather; symbols are recovered after the scan
         state = (entry >> 16) * (state >> 16) + (entry & 0xFFFF)
         need = (state < RENORM_BASE).astype(jnp.float32)
-        rankx = jnp.matmul(need, prefix_m,
-                           precision=jax.lax.Precision.HIGHEST)
-        read = _stream_read(stream_pad, ptr, rankx[:lanes], lanes)
+        rank_f, total = _rank_total(need, prefix_m, lanes)
+        read = _stream_read(stream_pad, ptr, rank_f, lanes)
         state = jnp.where(need > 0, (state << 16) | read, state)
-        ptr = ptr + rankx[lanes].astype(jnp.uint32)
+        ptr = ptr + total.astype(jnp.uint32)
         return (state, ptr), slot.astype(jnp.uint16)
 
     init = (states.astype(jnp.uint32), jnp.uint32(0))
@@ -453,9 +509,11 @@ GAUSS_ESC_FREQ = 65536.0 - GAUSS_B
 SUPPORT_SIGMAS = 6.0       # matches the baked tables' 1e-9 tail multiplier
 EPS_MARGIN = 2.5           # pre-floor bound gap (>= 1 + f32 slack)
 _INV_SQRT2 = 0.7071067811865476
-GAUSS_LANES = 128          # y planes; smaller than the table path's 256:
-                           # the bisection scan step is cheap enough that
-                           # halving the per-lane state flush wins
+# y planes; smaller than the table path's 256: the bisection scan step is
+# cheap enough that halving the per-lane state flush wins. Env override
+# for latency/rate tuning sweeps (each extra lane costs ~2 net flush
+# bytes/plane but shortens the serial decode chain proportionally).
+GAUSS_LANES = int(os.environ.get("HYRES_GAUSS_LANES", "128"))
 
 
 class GaussAnalytic(NamedTuple):
@@ -569,11 +627,10 @@ def gauss_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
         state = (freq.astype(jnp.uint32) * (state >> 16)
                  + (slot - start.astype(jnp.uint32)))
         need = (state < RENORM_BASE).astype(jnp.float32)
-        rankx = jnp.matmul(need, prefix_m,
-                           precision=jax.lax.Precision.HIGHEST)
-        read = _stream_read(stream_pad, ptr, rankx[:lanes], lanes)
+        rank_f, total = _rank_total(need, prefix_m, lanes)
+        read = _stream_read(stream_pad, ptr, rank_f, lanes)
         state = jnp.where(need > 0, (state << 16) | read, state)
-        ptr = ptr + rankx[lanes].astype(jnp.uint32)
+        ptr = ptr + total.astype(jnp.uint32)
         return (state, ptr), (lo - c).astype(jnp.int32)
 
     init = (states.astype(jnp.uint32), jnp.uint32(0))

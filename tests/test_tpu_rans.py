@@ -372,3 +372,76 @@ def test_pull_encs_two_phase_extra_roundtrip(gauss_tables, dtype, density):
             full["states"][i], full["stream"][i], int(full["n_renorm"][i]),
             full["esc_pos"][i], full["esc_val"][i], int(full["n_esc"][i]))
         assert sliced == ref
+
+
+# ---------------------------------------------------------------------------
+# pure-VPU scan-step lowerings (prefix ladder / butterfly stream routing)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("lanes", [32, 64, 128, 256])
+def test_rank_total_ladder_matches_matmul(monkeypatch, lanes):
+    rng = np.random.default_rng(7)
+    prefix_m = tpu_rans._prefix_matrix(lanes)
+    for density in (0.0, 0.3, 1.0):
+        need = (rng.random(lanes) < density).astype(np.float32)
+        monkeypatch.setattr(tpu_rans, "PREFIX_MODE", "matmul")
+        r0, t0 = tpu_rans._rank_total(jnp.asarray(need), prefix_m, lanes)
+        monkeypatch.setattr(tpu_rans, "PREFIX_MODE", "ladder")
+        r1, t1 = tpu_rans._rank_total(jnp.asarray(need), prefix_m, lanes)
+        np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+        assert float(t0) == float(t1)
+
+
+@pytest.mark.parametrize("lanes", [32, 64, 128, 256])
+def test_route_monotone_matches_onehot(lanes):
+    rng = np.random.default_rng(11)
+    for density in (0.0, 0.1, 0.5, 0.9, 1.0):
+        need = (rng.random(lanes) < density).astype(np.float32)
+        rank = np.concatenate([[0.0], np.cumsum(need)[:-1]]).astype(
+            np.float32)
+        win = rng.integers(0, 1 << 16, lanes).astype(np.uint32)
+        got = np.asarray(tpu_rans._route_monotone(
+            jnp.asarray(win), jnp.asarray(rank), lanes))
+        want = win[rank.astype(np.int64)]
+        # only lanes that renorm consume their read; junk elsewhere is
+        # masked by the caller — compare on the need lanes only
+        np.testing.assert_array_equal(got[need > 0], want[need > 0])
+
+
+@pytest.mark.parametrize("prefix_mode,stream_read", [
+    ("ladder", "slice"), ("matmul", "shift"), ("ladder", "shift"),
+])
+def test_vpu_scan_modes_bit_identical_roundtrip(
+        monkeypatch, ga, gauss_tables, prefix_mode, stream_read):
+    """Every (prefix, stream-read) lowering decodes the DEFAULT-mode
+    encoder's bytes exactly — the wire format is lowering-independent."""
+    _, dev = gauss_tables
+    rng = np.random.default_rng(3)
+    n = 30000
+    idx = rng.integers(0, 64, n).astype(np.int32)
+    from hyres_tpu.entropy import get_scale_table
+    sigma = np.asarray(get_scale_table())[idx]
+    sym = np.round(rng.normal(0, sigma)).astype(np.int32)
+
+    got_g, data_g = _ga_roundtrip(sym, idx, ga, lanes=128)
+    got_t, data_t = _roundtrip(sym, idx, dev, lanes=64)
+    np.testing.assert_array_equal(got_g, sym)
+    np.testing.assert_array_equal(got_t, sym)
+
+    monkeypatch.setattr(tpu_rans, "PREFIX_MODE", prefix_mode)
+    monkeypatch.setattr(tpu_rans, "STREAM_READ", stream_read)
+
+    lanes2, states, stream, esc_pos, esc_val = tpu_rans.unframe_plane(
+        data_g, n)
+    got2 = np.asarray(jax.jit(tpu_rans.gauss_decode, static_argnums=(6, 7))(
+        jnp.asarray(stream), jnp.asarray(states), jnp.asarray(idx),
+        jnp.asarray(esc_pos), jnp.asarray(esc_val), ga, 128, n))
+    np.testing.assert_array_equal(got2, sym)
+
+    lanes3, states3, stream3, esc_pos3, esc_val3 = tpu_rans.unframe_plane(
+        data_t, n)
+    got3 = np.asarray(jax.jit(tpu_rans.rans_decode, static_argnums=(6, 7))(
+        jnp.asarray(stream3), jnp.asarray(states3), jnp.asarray(idx),
+        jnp.asarray(esc_pos3), jnp.asarray(esc_val3), dev, 64, n))
+    np.testing.assert_array_equal(got3, sym)
