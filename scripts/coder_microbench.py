@@ -110,11 +110,25 @@ def main():
     ap.add_argument("--lanes", type=int, default=256)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke testing)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="sweep lane counts x (prefix, stream-read) "
+                         "lowerings for the gaussian plane")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     print("backend:", jax.default_backend(), jax.devices())
     rng = np.random.default_rng(0)
+    if args.sweep:
+        for lanes in (128, 256, 512):
+            for prefix in ("matmul", "ladder"):
+                for read in ("slice", "shift"):
+                    tr.PREFIX_MODE = prefix
+                    tr.STREAM_READ = read
+                    print(f"--- lanes={lanes} prefix={prefix} read={read}")
+                    bench_gauss(args.n, lanes, rng)
+        tr.PREFIX_MODE = "matmul"
+        tr.STREAM_READ = "slice"
+        return
     bench_gauss(args.n, args.lanes, rng)
     bench_lut(49152, 64, rng)   # z plane: 12*8*512? -> 49k symbols
 
