@@ -209,6 +209,13 @@ STREAM_READ = os.environ.get("HYRES_STREAM_READ", "slice")
 # every step, the ladder stays on the VPU.
 PREFIX_MODE = os.environ.get("HYRES_PREFIX", "matmul")
 
+# Stream/escape compaction inside the encode program: "nonzero" uses
+# jnp.nonzero (XLA:TPU lowers it as a serialized ~9 ns/element custom
+# fusion — the captured round-3 profile shows 4x 5.15 ms of it per
+# single-image encode, the encode device-time floor); "merge" uses
+# masked_compact below (dense merge-tree, no gather/scatter/sort).
+COMPACT_MODE = os.environ.get("HYRES_COMPACT", "nonzero")
+
 
 def _pad_stream(stream: jax.Array, lanes: int) -> jax.Array:
     """Pad so the in-scan dynamic slice never clamps (ptr <= len)."""
@@ -311,6 +318,62 @@ def stream_cap(n: int, lanes: int) -> int:
     return max(4096, padded // 4)
 
 
+def _barrel_shift_right(x: jax.Array, c: jax.Array, maxshift: int) -> jax.Array:
+    """Per-row right-shift of the last axis by c in [0, maxshift], zero
+    fill. x (..., W), c (...,) i32. log2(maxshift)+1 select rounds."""
+    k = 0
+    while (1 << k) <= maxshift:
+        s = 1 << k
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(x[..., :s]), x[..., :-s]], axis=-1)
+        bit = ((c >> k) & 1)[..., None] > 0
+        x = jnp.where(bit, shifted, x)
+        k += 1
+    return x
+
+
+def masked_compact(vals: jax.Array, mask: jax.Array, cap: int,
+                   fill=0) -> Tuple[jax.Array, jax.Array]:
+    """Stable compaction: vals at mask-set positions moved to the front.
+
+    Returns ((cap,) vals with `fill` past the count, count i32). Pure
+    dense work — a merge tree of barrel-shift merges (log2(n) levels;
+    level merging width-W rows costs n * (log2(W)+1) selects), no
+    gather/scatter/sort anywhere, so XLA:TPU keeps it on the VPU instead
+    of the serialized nonzero custom fusion. Exact for any dtype (the
+    shifts/selects copy values bit-for-bit).
+    """
+    n = vals.shape[0]
+    npad = 1 << max(1, (n - 1).bit_length())
+    m = jnp.pad(mask.astype(jnp.int32), (0, npad - n))
+    v = jnp.pad(vals, (0, npad - n))
+    v = jnp.where(m > 0, v, jnp.zeros_like(v))  # invariant: junk is 0
+    v = v[:, None]           # (rows, W) with W=1
+    c = m                    # width-1 rows: count = mask
+    W = 1
+    while W < npad:
+        a, b = v[0::2], v[1::2]
+        ca, cb = c[0::2], c[1::2]
+        z = jnp.zeros_like(a)
+        A2 = jnp.concatenate([a, z], axis=-1)
+        B2 = jnp.concatenate([b, z], axis=-1)
+        B2 = _barrel_shift_right(B2, ca, W)
+        keep_a = jnp.arange(2 * W, dtype=jnp.int32)[None, :] < ca[:, None]
+        v = jnp.where(keep_a, A2, B2)
+        c = ca + cb
+        W *= 2
+    out = v[0]
+    count = c[0]
+    if cap <= npad:
+        out = out[:cap]
+    else:
+        out = jnp.pad(out, (0, cap - npad))
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    out = jnp.where(idx < count, out,
+                    jnp.full((cap,), fill, vals.dtype))
+    return out, count
+
+
 def _to_tl(flat: jax.Array, T: int, lanes: int, pad_value) -> jax.Array:
     n = flat.shape[0]
     flat = jnp.pad(flat, (0, T * lanes - n), constant_values=pad_value)
@@ -355,15 +418,21 @@ def _encode_scan_core(sym_tl: jax.Array, start: jax.Array, freq_f: jax.Array,
     mask_flat = mask_tl.reshape(-1)
     emit_flat = emit_tl.reshape(-1)
     cap = stream_cap(n, lanes)
-    (pos,) = jnp.nonzero(mask_flat, size=cap, fill_value=padded)
-    stream = jnp.take(emit_flat, pos, mode="fill", fill_value=0)
-    n_renorm = jnp.sum(mask_flat).astype(jnp.int32)
-
-    # escape side list (flat positions in the padded (T*lanes) layout)
     esc_flat = esc_tl.reshape(-1)
-    (esc_pos,) = jnp.nonzero(esc_flat, size=ESC_MAX, fill_value=padded)
-    esc_val = jnp.take(sym_tl.reshape(-1), esc_pos, mode="clip")
-    n_esc = jnp.sum(esc_flat).astype(jnp.int32)
+    if COMPACT_MODE == "merge":
+        stream, n_renorm = masked_compact(emit_flat, mask_flat, cap)
+        iota = jnp.arange(padded, dtype=jnp.int32)
+        esc_pos, n_esc = masked_compact(iota, esc_flat, ESC_MAX, fill=padded)
+        esc_val, _ = masked_compact(
+            sym_tl.reshape(-1), esc_flat, ESC_MAX)
+    else:
+        (pos,) = jnp.nonzero(mask_flat, size=cap, fill_value=padded)
+        stream = jnp.take(emit_flat, pos, mode="fill", fill_value=0)
+        n_renorm = jnp.sum(mask_flat).astype(jnp.int32)
+        # escape side list (flat positions in the padded (T*lanes) layout)
+        (esc_pos,) = jnp.nonzero(esc_flat, size=ESC_MAX, fill_value=padded)
+        esc_val = jnp.take(sym_tl.reshape(-1), esc_pos, mode="clip")
+        n_esc = jnp.sum(esc_flat).astype(jnp.int32)
 
     return {"states": states, "stream": stream, "n_renorm": n_renorm,
             "esc_pos": esc_pos.astype(jnp.int32), "esc_val": esc_val,

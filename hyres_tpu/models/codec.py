@@ -385,11 +385,21 @@ def _pack_sliced_jit(encs, extra, slices, coef_cap, with_sizes=False):
         flat = extra.reshape(B, -1)
         n = flat.shape[1]
 
-        def one(row):
-            (pos,) = jnp.nonzero(row != 0, size=coef_cap, fill_value=n)
-            val = jnp.take(row, pos, mode="fill",
-                           fill_value=0).astype(jnp.int16)
-            return pos.astype(jnp.int32), val
+        if tpu_rans.COMPACT_MODE == "merge":
+            def one(row):
+                mask = row != 0
+                iota = jnp.arange(n, dtype=jnp.int32)
+                pos, _ = tpu_rans.masked_compact(iota, mask, coef_cap,
+                                                 fill=n)
+                val, _ = tpu_rans.masked_compact(
+                    row.astype(jnp.int16), mask, coef_cap)
+                return pos, val
+        else:
+            def one(row):
+                (pos,) = jnp.nonzero(row != 0, size=coef_cap, fill_value=n)
+                val = jnp.take(row, pos, mode="fill",
+                               fill_value=0).astype(jnp.int16)
+                return pos.astype(jnp.int32), val
 
         pos, val = jax.vmap(one)(flat)
         parts += [_dev_u8(pos), _dev_u8(val)]

@@ -445,3 +445,92 @@ def test_vpu_scan_modes_bit_identical_roundtrip(
         jnp.asarray(stream3), jnp.asarray(states3), jnp.asarray(idx),
         jnp.asarray(esc_pos3), jnp.asarray(esc_val3), dev, 64, n))
     np.testing.assert_array_equal(got3, sym)
+
+
+# ---------------------------------------------------------------------------
+# dense merge-tree compaction (nonzero replacement)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n,cap", [(100, 32), (100, 256), (4096, 1024),
+                                   (20000, 5000), (65536, 65536)])
+def test_masked_compact_matches_nonzero(n, cap):
+    rng = np.random.default_rng(n)
+    for density in (0.0, 0.01, 0.3, 1.0):
+        mask = rng.random(n) < density
+        vals = rng.integers(0, 1 << 16, n).astype(np.uint16)
+        out, count = tpu_rans.masked_compact(
+            jnp.asarray(vals), jnp.asarray(mask), cap, fill=0)
+        want = vals[mask]
+        assert int(count) == want.size
+        k = min(cap, want.size)
+        np.testing.assert_array_equal(np.asarray(out)[:k], want[:k])
+        np.testing.assert_array_equal(np.asarray(out)[k:], 0)
+
+
+def test_masked_compact_position_fill():
+    n = 1000
+    mask = np.zeros(n, bool)
+    mask[[3, 500, 999]] = True
+    iota = np.arange(n, dtype=np.int32)
+    out, count = tpu_rans.masked_compact(
+        jnp.asarray(iota), jnp.asarray(mask), 16, fill=n)
+    assert int(count) == 3
+    np.testing.assert_array_equal(np.asarray(out)[:3], [3, 500, 999])
+    np.testing.assert_array_equal(np.asarray(out)[3:], n)
+
+
+def test_compact_merge_mode_roundtrip(monkeypatch, ga):
+    """Full encode/decode with the merge compactor: same bytes, same
+    symbols as the nonzero path."""
+    from hyres_tpu.entropy import get_scale_table
+    rng = np.random.default_rng(5)
+    n = 30000
+    idx = rng.integers(0, 64, n).astype(np.int32)
+    sigma = np.asarray(get_scale_table())[idx]
+    sym = np.round(rng.normal(0, sigma)).astype(np.int32)
+    sym[::5000] = 32000  # a few escapes
+    got0, data0 = _ga_roundtrip(sym, idx, ga, lanes=128)
+    monkeypatch.setattr(tpu_rans, "COMPACT_MODE", "merge")
+    got1, data1 = _ga_roundtrip(sym, idx, ga, lanes=128)
+    np.testing.assert_array_equal(got0, sym)
+    np.testing.assert_array_equal(got1, sym)
+    assert data0 == data1
+
+
+@pytest.mark.parametrize("dtype,density", [(np.int8, 0.02), (np.int16, 0.9)])
+def test_pull_encs_merge_compactor_same_bytes(monkeypatch, gauss_tables,
+                                              dtype, density):
+    """The merge compactor must produce the same pulled frames and extra
+    payload as the nonzero path, through the full pull_encs pipeline."""
+    from hyres_tpu.models.codec import pull_encs
+
+    _, dev = gauss_tables
+    rng = np.random.default_rng(9)
+    B, n = 2, 20000
+    idx = rng.integers(0, 64, (B, n)).astype(np.int32)
+    sigma = np.asarray(get_scale_table())[idx]
+    sym = np.round(rng.normal(0, sigma)).astype(np.int32)
+    lanes = 64
+    extra = (rng.random((B, 4096)) < density) * rng.integers(
+        -100, 100, (B, 4096))
+    extra = jnp.asarray(extra.astype(dtype))
+
+    def run():
+        enc = jax.jit(jax.vmap(
+            lambda s, i: tpu_rans.rans_encode(s, i, dev, lanes)))(
+            jnp.asarray(sym), jnp.asarray(idx))
+        encs_host, extra_np = pull_encs([enc], extra)
+        frames = [tpu_rans.frame_plane(
+            encs_host[0]["states"][i], encs_host[0]["stream"][i],
+            int(encs_host[0]["n_renorm"][i]), encs_host[0]["esc_pos"][i],
+            encs_host[0]["esc_val"][i], int(encs_host[0]["n_esc"][i]))
+            for i in range(B)]
+        return frames, np.asarray(extra_np)
+
+    f0, e0 = run()
+    monkeypatch.setattr(tpu_rans, "COMPACT_MODE", "merge")
+    f1, e1 = run()
+    assert f0 == f1
+    np.testing.assert_array_equal(e0, e1)
+    np.testing.assert_array_equal(e1, np.asarray(extra))
