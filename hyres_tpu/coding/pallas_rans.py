@@ -1,0 +1,313 @@
+"""Pallas TPU kernel for the segment-table gaussian rANS decoder.
+
+Why a hand-written kernel when coding/tpu_rans.py already runs the whole
+coder inside jit: the XLA lowering of the decode scan pays ~11 us of
+while-loop/dispatch overhead PER STEP for a step body that is only a few
+hundred (1, lanes) VPU/MXU ops (captured round-3 trace: 12.65 ms for the
+T=1152 scan of one 768x512 y plane), and a batch of B images pays it B
+times. This module reimplements the latency-critical decode scan as ONE
+Mosaic kernel: lane states live in VMEM scratch, the renorm stream is
+VMEM-resident, the bounds tables are VMEM constants, and the per-step
+work is one small MXU one-hot dot plus straight VPU reductions/shifts —
+the per-step cost is the step's actual arithmetic, not XLA loop
+machinery.
+
+Sublane batching (the TPU-native batch design): the VPU is 8x128 — a
+(1, 128) lane vector uses one sublane row. Up to G = 8 images of the
+SAME plane geometry decode in lockstep as the rows of an (G, 128) tile:
+every per-step op is shared, only the stream reads are per-image (each
+image has its own stream and pointer). Batch-8 decode therefore costs
+~one image's scan latency instead of 8x — this, not throughput tiling,
+is what the serving path needs behind a ~26 ms dispatch tunnel.
+
+Exactness: the v2 gaussian coder (see tpu_rans.py) has NO recomputed
+f32 rounding in its wire contract — every coding quantity is exact
+integer arithmetic (one-hot data movement, integer-valued-f32
+compares/selects/reductions, u32 shifts/mul). XLA:TPU, XLA:CPU and
+Mosaic therefore agree bit-for-bit by construction, and streams framed
+by the XLA encoder are decodable by this kernel (guarded by
+tests/test_pallas_rans.py, which cross-decodes on CPU interpret mode,
+and by scripts/coder_microbench.py --impl pallas on-chip).
+
+Encode has no kernel: it is bulk matmuls plus a cheap reverse scan,
+already well-lowered by XLA (tpu_rans.gauss_encode_batch).
+
+Reference being replaced: the CompressAI host coder used by
+/root/reference/models/checkerboard.py:167-259 (see coding/tpu_rans.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import tpu_rans as tr
+
+# One kernel grid step processes TC scan steps; the row-id block DMA
+# (G * TC * lanes * 4 B) double-buffers against the compute.
+TC = 64
+MAX_G = 8          # sublane rows: images decoded in lockstep per kernel
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _shift_right_zeros(x: jax.Array, d: int) -> jax.Array:
+    """(G, W) -> shifted right along lanes by static d, zero fill."""
+    if d == 0:
+        return x
+    return jnp.concatenate(
+        [jnp.zeros_like(x[:, :d]), x[:, :-d]], axis=1)
+
+
+def _funnel_rot(a: jax.Array, b: jax.Array, o_col: jax.Array,
+                lanes: int) -> jax.Array:
+    """Per-row rotate-left of the (G, 2*lanes) window [a|b] by
+    o in [0, lanes): returns (G, lanes) = window[o : o+lanes].
+
+    log2(lanes) rounds of static funnel shifts selected by o's bits
+    (per-row masks), so no per-lane gather ever happens."""
+    k = 0
+    while (1 << k) < lanes:
+        s = 1 << k
+        a_s = jnp.concatenate([a[:, s:], b[:, :s]], axis=1)
+        b_s = jnp.concatenate([b[:, s:], a[:, :s]], axis=1)
+        bit = ((o_col >> k) & 1) > 0          # (G, 1) bool
+        a = jnp.where(bit, a_s, a)
+        b = jnp.where(bit, b_s, b)
+        k += 1
+    return a
+
+
+def _route_monotone_rows(win: jax.Array, rank: jax.Array,
+                         lanes: int) -> jax.Array:
+    """out[g, j] = win[g, rank[g, j]] for per-row MONOTONE ranks
+    (exclusive prefix of a 0/1 mask). Same butterfly argument as
+    tpu_rans._route_monotone, vectorized over sublane rows."""
+    G = win.shape[0]
+    d = jax.lax.broadcasted_iota(jnp.float32, (G, lanes), 1) - rank
+    x = win
+    b = 1 << (lanes.bit_length() - 2) if lanes > 1 else 0
+    while b >= 1:
+        shifted = _shift_right_zeros(x, b)
+        take = jnp.floor(d / float(b)) % 2.0 >= 1.0
+        x = jnp.where(take, shifted, x)
+        b >>= 1
+    return x
+
+
+def _ladder_prefix(need_f: jax.Array, lanes: int
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """(G, lanes) 0/1 f32 -> (exclusive rank, inclusive row totals
+    (G, lanes) whose last column is the total)."""
+    incl = need_f
+    dshift = 1
+    while dshift < lanes:
+        incl = incl + _shift_right_zeros(incl, dshift)
+        dshift *= 2
+    return incl - need_f, incl
+
+
+# ---------------------------------------------------------------------------
+# decode kernel
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(row_ref, tab_ref, stream_ref, states_ref, out_ref,
+                   st_scr, ptr_scr, *, G: int, lanes: int, T: int,
+                   rows: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        st_scr[...] = states_ref[...]
+        for i in range(G):
+            ptr_scr[i] = 0
+
+    R = stream_ref.shape[1]
+    cols = 128
+    upper = jnp.minimum(TC, T - k * TC)
+    tab = tab_ref[...]                               # (rows, 256) f32
+
+    def read_renorm(state, ptr_list):
+        """One renorm round: lanes with state < 2^16 read the next
+        stream words (per-image pointer) in lane order."""
+        need = state < tr.RENORM_BASE
+        need_f = need.astype(jnp.float32)
+        rank_f, incl = _ladder_prefix(need_f, lanes)
+        win_a, win_b, o_list = [], [], []
+        for i in range(G):
+            p = ptr_list[i]
+            # clamp: a corrupt/padded-junk stream pointer must never read
+            # past the block (real pointers satisfy r <= R - 2 because
+            # the stream rows carry +2 rows of zero padding)
+            r = jnp.minimum(jax.lax.shift_right_logical(p, 7), R - 2)
+            win2 = stream_ref[i, pl.ds(r, 2), :]     # (1, 2, 128) u32
+            win2 = win2.reshape(2, lanes)
+            win_a.append(win2[0:1])
+            win_b.append(win2[1:2])
+            o_list.append(p)
+        a = jnp.concatenate(win_a, axis=0)           # (G, lanes)
+        b = jnp.concatenate(win_b, axis=0)
+        o_col = jnp.stack(o_list).reshape(G, 1) & 0x7F
+        win = _funnel_rot(a, b, o_col, lanes)
+        read = _route_monotone_rows(
+            win.astype(jnp.float32), rank_f, lanes).astype(jnp.uint32)
+        state = jnp.where(need, (state << 16) | read, state)
+        new_ptrs = [ptr_list[i] + incl[i, lanes - 1].astype(jnp.int32)
+                    for i in range(G)]
+        return state, new_ptrs
+
+    def body(t, _):
+        row = row_ref[:, pl.ds(t, 1), :].reshape(G, lanes)   # i32
+        oh = (row[..., None] == jax.lax.broadcasted_iota(
+            jnp.int32, (G, lanes, rows), 2)).astype(jnp.float32)
+        fetched = jax.lax.dot_general(
+            oh.reshape(G * lanes, rows), tab,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)      # (G*lanes, 256)
+        fetched = fetched.reshape(G, lanes, 256)
+        rowvals = fetched[:, :, :cols]               # (G, lanes, 128)
+        # params columns (see _cat_tables): [c, L, k, nseg]
+        c_i = fetched[:, :, cols].astype(jnp.int32)
+        k_i = fetched[:, :, cols + 2].astype(jnp.int32)
+        ks = (16 - k_i).astype(jnp.uint32)
+
+        state = st_scr[...]                          # (G, lanes) u32
+        # pop HIGH: h = rank of slot among the row bounds
+        slot = state & 0xFFFF
+        slot_f = slot.astype(jnp.float32)
+        is_esc = slot_f >= tr.GAUSS_B
+        le = rowvals <= slot_f[..., None]
+        h = jnp.sum(le.astype(jnp.float32), -1).astype(jnp.int32) - 1
+        b0 = jnp.max(jnp.where(le, rowvals, 0.0), -1)
+        b1 = jnp.min(jnp.where(le, jnp.float32(65536.0), rowvals), -1)
+        start = jnp.where(is_esc, jnp.float32(tr.GAUSS_B), b0)
+        freq = jnp.where(is_esc, jnp.float32(65536.0), b1) - start
+        h = jnp.where(is_esc, 0, h)
+        state = (freq.astype(jnp.uint32) * (state >> 16)
+                 + (slot - start.astype(jnp.uint32)))
+        ptrs = [ptr_scr[i] for i in range(G)]
+        state, ptrs = read_renorm(state, ptrs)
+        # pop LOW (k uniform bits; k = 0 rows are an exact identity)
+        slot2 = state & 0xFFFF
+        lowv = (slot2 >> ks).astype(jnp.int32)
+        freq_l = jnp.uint32(1) << ks
+        state = ((state >> 16) << ks) + (slot2 & (freq_l - 1))
+        state, ptrs = read_renorm(state, ptrs)
+        st_scr[...] = state
+        for i in range(G):
+            ptr_scr[i] = ptrs[i]
+
+        sym = (jax.lax.shift_left(h, k_i) | lowv) - c_i
+        out_ref[:, pl.ds(t, 1), :] = sym.reshape(G, 1, lanes)
+        return 0
+
+    jax.lax.fori_loop(0, upper, body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _decode_call(row_tl, tab, stream_rows, states, lanes: int, T: int):
+    """row_tl (Bp, Tp, lanes) i32, tab (rows, 256) f32 (bounds || c, k),
+    stream_rows (Bp, R, 128) u32, states (Bp, lanes) u32 ->
+    (Bp, Tp, lanes) i32 symbols."""
+    Bp, Tp = row_tl.shape[0], row_tl.shape[1]
+    rows = tab.shape[0]
+    G = min(Bp, MAX_G)
+    assert Bp % G == 0
+    R = stream_rows.shape[1]
+    NC = Tp // TC
+
+    kern = functools.partial(_decode_kernel, G=G, lanes=lanes, T=T,
+                             rows=rows)
+    grid = (Bp // G, NC)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G, TC, lanes), lambda g, k: (g, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 256), lambda g, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, R, 128), lambda g, k: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, lanes), lambda g, k: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, TC, lanes), lambda g, k: (g, k, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Tp, lanes), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((G, lanes), jnp.uint32),
+            pltpu.SMEM((G,), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(row_tl, tab, stream_rows, states)
+
+
+# ---------------------------------------------------------------------------
+# batch entry point (called from tpu_rans.gauss_decode_batch)
+# ---------------------------------------------------------------------------
+
+
+def _pad_batch(x: jax.Array) -> Tuple[jax.Array, int]:
+    B = x.shape[0]
+    G = min(B, MAX_G)
+    Bp = -(-B // G) * G
+    if Bp != B:
+        x = jnp.pad(x, [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1))
+    return x, Bp
+
+
+def supported(lanes: int) -> bool:
+    """v1 kernel restriction: the lane axis must be one full VPU row."""
+    return lanes == 128
+
+
+def _cat_tables(gt) -> jax.Array:
+    """(rows, 256) kernel table: cols 0..127 = bounds row, 128..131 =
+    params [c, L, k, nseg] (integer-valued f32), rest zero."""
+    rows = gt.bounds.shape[0]
+    pad = jnp.zeros((rows, 128 - 4), jnp.float32)
+    return jnp.concatenate([gt.bounds, gt.params, pad], axis=1)
+
+
+def gauss_decode_batch(stream_b: jax.Array, states_b: jax.Array,
+                       idx_b: jax.Array, esc_pos_b: jax.Array,
+                       esc_val_b: jax.Array, gt, lanes: int,
+                       n: int) -> jax.Array:
+    """Pallas decode of (B, S) streams; returns (B, n) i32 symbols."""
+    B = idx_b.shape[0]
+    T, padded, _ = tr.plane_geometry(n, lanes)
+    Tp = -(-T // TC) * TC
+    row_tl = jax.vmap(lambda i: tr._to_tl(i.astype(jnp.int32), T, lanes, 0)
+                      )(idx_b)
+    if Tp != T:
+        row_tl = jnp.pad(row_tl, ((0, 0), (0, Tp - T), (0, 0)))
+
+    S = stream_b.shape[1]
+    R = -(-S // 128) + 2                  # +2: window read never clamps
+    sr = jnp.zeros((B, R * 128), jnp.uint32)
+    sr = sr.at[:, :S].set(stream_b.astype(jnp.uint32))
+    sr = sr.reshape(B, R, 128)
+
+    row_b, Bp = _pad_batch(row_tl)
+    sr_b, _ = _pad_batch(sr)
+    st_b, _ = _pad_batch(states_b.astype(jnp.uint32))
+    tab = _cat_tables(gt)
+    sym = _decode_call(row_b, tab, sr_b, st_b, lanes, T)
+    sym_flat = sym[:B, :T].reshape(B, T * lanes)
+
+    def sub(sf, ep, ev):
+        return sf.at[ep].set(ev, mode="drop")
+
+    sym_flat = jax.vmap(sub)(sym_flat, esc_pos_b, esc_val_b)
+    return sym_flat[:, :n]

@@ -216,6 +216,14 @@ PREFIX_MODE = os.environ.get("HYRES_PREFIX", "matmul")
 # masked_compact below (dense merge-tree, no gather/scatter/sort).
 COMPACT_MODE = os.environ.get("HYRES_COMPACT", "nonzero")
 
+# Gaussian-plane coder implementation: "xla" (lax.scan, this module) or
+# "pallas" (coding/pallas_rans.py — Mosaic kernels: whole decode scan in
+# one kernel, sublane-batched up to 8 images in lockstep). The choice
+# switches BOTH directions at once: the quantized CDF is defined by
+# _gauss_bound's f32 rounding, and only same-compiler encode/decode are
+# guaranteed to round identically (see pallas_rans module docstring).
+GAUSS_IMPL = os.environ.get("HYRES_GAUSS_IMPL", "xla")
+
 
 def _pad_stream(stream: jax.Array, lanes: int) -> jax.Array:
     """Pad so the in-scan dynamic slice never clamps (ptr <= len)."""
@@ -302,7 +310,7 @@ def plane_geometry(n: int, lanes: int) -> Tuple[int, int, int]:
     return T, T * lanes, T * lanes  # worst case: <=1 renorm u16 per symbol
 
 
-def stream_cap(n: int, lanes: int) -> int:
+def stream_cap(n: int, lanes: int, words: int = 1) -> int:
     """Renorm-stream buffer entries.
 
     Large planes get an average-4-bits/symbol buffer (trained-stat
@@ -311,10 +319,13 @@ def stream_cap(n: int, lanes: int) -> int:
     device->host stream transfer 4x. Small planes (<= 64k symbols, e.g.
     hyper-latents) keep the full worst-case buffer: their transfer is
     trivial and undertrained hyper stats can legitimately need
-    >4 bits/symbol."""
+    >4 bits/symbol. `words` is the coder's worst-case renorm words per
+    symbol (2 for the segment-coded gaussian path's two pushes); the
+    big-plane average cap tracks total RATE, not push count, so only
+    the worst-case branch scales with it."""
     _, padded, _ = plane_geometry(n, lanes)
     if n <= 65536:
-        return padded
+        return padded * words
     return max(4096, padded // 4)
 
 
@@ -537,162 +548,255 @@ def rans_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
 
 
 # ---------------------------------------------------------------------------
-# analytic gaussian coder (table-free; y planes)
+# gaussian coder (segment-table + uniform low bits; y planes)
 # ---------------------------------------------------------------------------
 #
 # The scale-table CDFs are 64 rows x up to 3133 bins: coding y planes
 # against them with the one-hot trick materializes (n, 3133) f32
-# intermediates (~1.8 GB for a Kodak y plane, ~15 GB at batch 8 — the
-# round-2 batched-throughput regression), and the in-scan 65536-slot LUT
-# gather is the decode latency floor (~25 ns/lane-element serialized).
-# But the gaussian CDF is an ANALYTIC function of (bin, sigma): instead
-# of baking tables, compute the quantized CDF bounds on the fly —
+# intermediates (~1.8 GB for a Kodak y plane), and the in-scan
+# 65536-slot LUT gather is a decode latency floor. Round 2/3 coded y
+# planes against an ANALYTIC erf CDF recomputed on both sides instead —
+# which exposed a fundamental exactness problem: rANS needs the encoder
+# and decoder to agree BIT-FOR-BIT on every (start, freq), but f32
+# transcendentals are NOT reproducible across compilation contexts
+# (lax.erf differs by 1 ulp between bulk and in-scan lowering on
+# XLA:CPU for 37% of inputs, and even mul/add chains are subject to
+# context-dependent FMA contraction; measured corruption: whole planes
+# at wide sigmas). Conclusion: the wire contract must never depend on a
+# recomputed f32 rounding.
 #
-#   bound(v) = clip(floor(B * G(v)), v, B - L + v),  bound(0)=0, bound(L)=B
-#   G(v) = (1-eps) * (Phi((v-c-0.5)/sigma) - Phi_lo) / den  +  eps * v/L
+# v2 design — every coding quantity is EXACT integer arithmetic:
 #
-# with B = 65504 value slots, the top 32 slots an escape bin, c = support
-# half-width (SUPPORT_SIGMAS sigmas), L = 2c+1 bins, and eps sized so the
-# pre-floor gap between consecutive bounds is >= EPS_MARGIN (every bin
-# keeps freq >= 1 despite f32 rounding; the clip additionally pins
-# bound(v) inside [v, B-L+v], which preserves strict monotonicity even if
-# floor lands short). Encode needs bound(v), bound(v+1) per symbol — pure
-# elementwise math, no tables. Decode inverts slot -> v by BISECTION on
-# bound inside the scan (12 erf evaluations, all vectorized across lanes)
-# — no gather anywhere, so scan steps are pure VPU work and batching
-# amortizes instead of scaling the gather cost.
+#   Per scale row r (host-built, f64/scipy, shipped as integer-valued
+#   f32 DATA): support half-width c = ceil(6 sigma), L = 2c+1 bins,
+#   low-bit count k_r = smallest k with ceil(L / 2^k) <= 127 segments,
+#   and a strictly increasing quantized-CDF bounds table
+#   B_r[j] = bound at bin-edge (j << k_r), j = 0..nseg (B_r[0] = 0,
+#   B_r[nseg] = GAUSS_B, each segment >= 1 slot), padded to 128 columns
+#   with 65536.
 #
-# Exactness contract: encoder and decoder evaluate _gauss_bound through
-# the same jaxpr with the same f32 row parameters; XLA's f32 elementwise
-# ops round identically regardless of surrounding fusion (no FP
-# contraction/reassociation in XLA's default semantics), so the floor is
-# bit-identical on both sides. Guarded by
-# tests/test_tpu_rans.py::test_gauss_bound_bulk_vs_scan_identical.
+#   A symbol's bin v = sym + c in [0, L) splits into h = v >> k and
+#   low = v & (2^k - 1). The HIGH part codes against segment h:
+#   (start, freq) = (B[h], B[h+1] - B[h]). The LOW part codes as k
+#   uniform bits: (start, freq) = (low << (16-k), 2^(16-k)) — pure
+#   shifts. Out-of-support values escape exactly as before (slot region
+#   [GAUSS_B, 2^16), value in the side list; escapes still push k zero
+#   low bits so both directions stay in lockstep).
 #
-# Rate: the analytic quantization is within ~0.1% of the baked-table
-# rate (same gaussian, same tail mass class); only the widest rows pay
-# the eps mixing visibly and almost no trained-stat symbols land there.
+#   Encode (reverse scan, per symbol): push low (shift math), then push
+#   high (_div_u32_by_u16). Decode (forward scan, per symbol): pop high
+#   — fetch the 128-wide bounds row with ONE exact one-hot MXU matmul,
+#   then h = rank of slot (compare + sum), start/freq by masked max/min
+#   reductions (NO per-lane gather, NO bisection-on-a-function) — then
+#   pop low by shifts. Every device-side quantity is data movement,
+#   integer-valued-f32 compares/selects, u32 shifts/mul, or exact
+#   division — bit-identical on XLA:TPU, XLA:CPU and Mosaic by
+#   construction, so XLA-framed streams are decodable by the Pallas
+#   kernel and vice versa.
+#
+# Rate: within a segment the 2^k low bits are coded uniformly; the KL
+# penalty vs the exact per-bin CDF is ~(pdf slope within segment)^2 and
+# is measured < 1% even on the widest rows (k=5, sigma ~ 256); rows
+# with L <= 127 have k = 0 — an exact per-bin quantized CDF, zero
+# penalty (most trained-stat symbols land there). Guarded by
+# tests/test_tpu_rans.py::test_gauss_rate_close_to_table_coder.
+#
+# Replaces: CompressAI's GaussianConditional coder used by
+# /root/reference/models/checkerboard.py:167-259.
 
 GAUSS_B = 65504.0          # value-slot budget; [B, 2^16) = escape bin
 GAUSS_ESC_FREQ = 65536.0 - GAUSS_B
 SUPPORT_SIGMAS = 6.0       # matches the baked tables' 1e-9 tail multiplier
-EPS_MARGIN = 2.5           # pre-floor bound gap (>= 1 + f32 slack)
-_INV_SQRT2 = 0.7071067811865476
-# y planes; smaller than the table path's 256: the bisection scan step is
-# cheap enough that halving the per-lane state flush wins. Env override
-# for latency/rate tuning sweeps (each extra lane costs ~2 net flush
+GAUSS_COLS = 128           # bounds row width (nseg <= 127 segments)
+# y planes; smaller than the table path's 256: the scan step is cheap
+# enough that halving the per-lane state flush wins. Env override for
+# latency/rate tuning sweeps (each extra lane costs ~2 net flush
 # bytes/plane but shortens the serial decode chain proportionally).
 GAUSS_LANES = int(os.environ.get("HYRES_GAUSS_LANES", "128"))
 
 
-class GaussAnalytic(NamedTuple):
-    """Per-scale-table-row f32 parameters for the analytic coder.
+class GaussTables(NamedTuple):
+    """Device tables for the segment-coded gaussian coder.
 
-    params: (rows, 8) f32 — [inv_sigma, c+0.5, c, L, 1/L, eps, phi_lo,
-    inv_den]. Fetched per symbol by exact one-hot matmul (rows <= 64)."""
+    bounds: (rows, GAUSS_COLS) f32, integer-valued — strictly increasing
+        quantized CDF bounds at bin edges (j << k) per row, B[0] = 0,
+        B[nseg] = GAUSS_B, padding 65536 past nseg.
+    params: (rows, 4) f32, integer-valued — [c, L, k, nseg].
+    """
 
+    bounds: jax.Array
     params: jax.Array
 
 
-def build_gauss_analytic(scale_table) -> GaussAnalytic:
+def build_gauss_tables(scale_table) -> GaussTables:
     from scipy.special import ndtr
 
     st = np.asarray(scale_table, np.float64)
-    c = np.ceil(SUPPORT_SIGMAS * st)
-    L = 2.0 * c + 1.0
-    eps = EPS_MARGIN * L / GAUSS_B
-    phi_lo = ndtr((-c - 0.5) / st)
-    den = ndtr((c + 0.5) / st) - phi_lo
-    p = np.stack([1.0 / st, c + 0.5, c, L, 1.0 / L, eps,
-                  phi_lo, 1.0 / den], axis=1).astype(np.float32)
-    return GaussAnalytic(params=jnp.asarray(p))
+    rows = st.size
+    B = int(GAUSS_B)
+    bounds = np.full((rows, GAUSS_COLS), 65536.0, np.float64)
+    params = np.zeros((rows, 4), np.float64)
+    for r in range(rows):
+        c = int(np.ceil(SUPPORT_SIGMAS * st[r]))
+        L = 2 * c + 1
+        k = 0
+        while -(-L // (1 << k)) > GAUSS_COLS - 1:
+            k += 1
+        nseg = -(-L // (1 << k))
+        edges = np.minimum(np.arange(nseg + 1) << k, L).astype(np.float64)
+        lo = ndtr((-c - 0.5) / st[r])
+        den = ndtr((c + 0.5) / st[r]) - lo
+        F = (ndtr((edges - c - 0.5) / st[r]) - lo) / den
+        b = np.floor(B * np.clip(F, 0.0, 1.0))
+        # strictly increasing lift: every segment keeps >= 1 slot
+        f = np.maximum(np.diff(b).astype(np.int64), 1)
+        excess = int(f.sum()) - B
+        while excess > 0:
+            g = int(np.argmax(f))
+            take = min(excess, int(f[g]) - 1)
+            f[g] -= take
+            excess -= take
+        assert excess == 0 and (f >= 1).all()
+        bounds[r, : nseg + 1] = np.concatenate(
+            [[0.0], np.cumsum(f)]).astype(np.float64)
+        assert bounds[r, nseg] == B
+        params[r] = [c, L, k, nseg]
+    return GaussTables(bounds=jnp.asarray(bounds, jnp.float32),
+                       params=jnp.asarray(params, jnp.float32))
 
 
-def _gauss_bound(v, inv_sigma, chalf, L, inv_L, eps, phi_lo, inv_den):
-    """Quantized CDF bound at integer bin edge v (all f32, all exact
-    integers on output). Must stay a single shared expression — both
-    coder directions call it (see exactness contract above)."""
-    t = (v - chalf) * inv_sigma
-    phi = 0.5 * (1.0 + jax.lax.erf(t * _INV_SQRT2))
-    F = (phi - phi_lo) * inv_den
-    G = F + eps * (v * inv_L - F)
-    b = jnp.floor(GAUSS_B * G)
-    b = jnp.clip(b, v, GAUSS_B - L + v)
-    return jnp.where(v <= 0.0, 0.0, jnp.where(v >= L, GAUSS_B, b))
+def _gauss_split(sym_flat: jax.Array, idx_flat: jax.Array,
+                 gt: GaussTables):
+    """Per-symbol (start_h, freq_h, low, kshift, esc) — bulk, exact.
 
-
-def _gauss_params_for(idx_flat: jax.Array, ga: GaussAnalytic):
-    """(n,) i32 row ids -> tuple of 8 (n,) f32 param vectors (exact:
-    one-hot matmul copies each f32 value bit-for-bit)."""
-    rows = ga.params.shape[0]
-    P = _lookup(_row_onehot(idx_flat, rows), ga.params)
-    return tuple(P[:, i] for i in range(8))
+    start/freq come from one-hot matmul sums over the integer-valued
+    bounds table (exact data movement); h/low from integer shifts."""
+    rows = gt.bounds.shape[0]
+    oh = _row_onehot(idx_flat, rows)                     # (N, rows)
+    prm = _lookup(oh, gt.params)                         # (N, 4)
+    c_i = prm[:, 0].astype(jnp.int32)
+    L_i = prm[:, 1].astype(jnp.int32)
+    k_i = prm[:, 2].astype(jnp.int32)
+    v = sym_flat + c_i
+    esc = (v < 0) | (v >= L_i)
+    vv = jnp.where(esc, 0, v)
+    h = jax.lax.shift_right_logical(vv, k_i)
+    low = vv - jax.lax.shift_left(h, k_i)
+    cols = gt.bounds.shape[1]
+    iota = jnp.arange(cols, dtype=jnp.int32)[None, :]
+    oh_h = (iota == h[:, None]).astype(jnp.float32)
+    oh_h1 = (iota == (h + 1)[:, None]).astype(jnp.float32)
+    bT = gt.bounds.T                                     # (cols, rows)
+    b0 = jnp.sum(_lookup(oh_h, bT) * oh, -1)
+    b1 = jnp.sum(_lookup(oh_h1, bT) * oh, -1)
+    start_h = jnp.where(esc, jnp.float32(GAUSS_B), b0)
+    freq_h = jnp.where(esc, jnp.float32(GAUSS_ESC_FREQ), b1 - b0)
+    return start_h, freq_h, low, (16 - k_i), esc
 
 
 def gauss_encode(symbols: jax.Array, indexes: jax.Array,
-                 ga: GaussAnalytic, lanes: int):
-    """Analytic-gaussian encode of a flat (n,) int32 plane; same output
-    contract as rans_encode."""
+                 gt: GaussTables, lanes: int):
+    """Segment-table gaussian encode of a flat (n,) int32 plane; same
+    output contract as rans_encode. Each symbol is TWO rANS pushes (low
+    bits first, then the segment), so the stream budget is 2 words/symbol
+    worst case (stream_cap(..., words=2))."""
     n = symbols.shape[0]
-    T, _, _ = plane_geometry(n, lanes)
+    T, padded, _ = plane_geometry(n, lanes)
     sym_tl = _to_tl(symbols.astype(jnp.int32), T, lanes, 0)  # pad: center
     idx_tl = _to_tl(indexes.astype(jnp.int32), T, lanes, 0)
-    inv_sigma, chalf, c, L, inv_L, eps, phi_lo, inv_den = (
-        q.reshape(T, lanes) for q in _gauss_params_for(
-            idx_tl.reshape(-1), ga))
-    v = sym_tl.astype(jnp.float32) + c
-    esc_tl = (v < 0.0) | (v >= L)
-    vv = jnp.where(esc_tl, 0.0, v)
-    b0 = _gauss_bound(vv, inv_sigma, chalf, L, inv_L, eps, phi_lo, inv_den)
-    b1 = _gauss_bound(vv + 1.0, inv_sigma, chalf, L, inv_L, eps, phi_lo,
-                      inv_den)
-    start = jnp.where(esc_tl, GAUSS_B, b0)
-    freq_f = jnp.where(esc_tl, GAUSS_ESC_FREQ, b1 - b0)
-    return _encode_scan_core(sym_tl, start.astype(jnp.uint32), freq_f,
-                             esc_tl, lanes, n)
+    start_h, freq_h, low, ks, esc = _gauss_split(
+        sym_tl.reshape(-1), idx_tl.reshape(-1), gt)
+    xs = (start_h.astype(jnp.uint32).reshape(T, lanes),
+          freq_h.astype(jnp.uint32).reshape(T, lanes),
+          (1.0 / freq_h).reshape(T, lanes),
+          low.astype(jnp.uint32).reshape(T, lanes),
+          ks.astype(jnp.uint32).reshape(T, lanes))
+
+    def step(state, x):
+        start, freq, rcp, lowv, ksv = x
+        # push LOW first: the decoder pops high then low; k = 0 rows
+        # degenerate to an exact identity (freq_l = 2^16, never renorms)
+        freq_l = jnp.uint32(1) << ksv
+        emit_l = (state & 0xFFFF).astype(jnp.uint16)
+        need_l = (state >> 16) >= freq_l
+        state = jnp.where(need_l, state >> 16, state)
+        state = ((state >> ksv) << 16) + (lowv << ksv) + (state & (freq_l - 1))
+        # push HIGH (exact limb division)
+        emit_h = (state & 0xFFFF).astype(jnp.uint16)
+        need_h = (state >> 16) >= freq
+        state = jnp.where(need_h, state >> 16, state)
+        q, r = _div_u32_by_u16(state, freq, rcp)
+        state = (q << 16) + r + start
+        # ys stack [high, low]: within a decode step the high-pop's
+        # renorm word is read first (LIFO of the reverse encode)
+        return state, (jnp.stack([emit_h, emit_l]),
+                       jnp.stack([need_h, need_l]))
+
+    init = jnp.full((lanes,), RENORM_BASE, jnp.uint32)
+    states, (emit_t2, mask_t2) = jax.lax.scan(
+        step, init, xs, reverse=True, unroll=SCAN_UNROLL)
+
+    # compact the renorm stream in decoder read order (step asc,
+    # [high, low], lane asc) into a capped buffer
+    mask_flat = mask_t2.reshape(-1)
+    emit_flat = emit_t2.reshape(-1)
+    cap = stream_cap(n, lanes, words=2)
+    esc_flat = esc
+    sym_flat = sym_tl.reshape(-1)
+    if COMPACT_MODE == "merge":
+        stream, n_renorm = masked_compact(emit_flat, mask_flat, cap)
+        iota = jnp.arange(padded, dtype=jnp.int32)
+        esc_pos, n_esc = masked_compact(iota, esc_flat, ESC_MAX, fill=padded)
+        esc_val, _ = masked_compact(sym_flat, esc_flat, ESC_MAX)
+    else:
+        (pos,) = jnp.nonzero(mask_flat, size=cap, fill_value=2 * padded)
+        stream = jnp.take(emit_flat, pos, mode="fill", fill_value=0)
+        n_renorm = jnp.sum(mask_flat).astype(jnp.int32)
+        (esc_pos,) = jnp.nonzero(esc_flat, size=ESC_MAX, fill_value=padded)
+        esc_val = jnp.take(sym_flat, esc_pos, mode="clip")
+        n_esc = jnp.sum(esc_flat).astype(jnp.int32)
+
+    return {"states": states, "stream": stream, "n_renorm": n_renorm,
+            "esc_pos": esc_pos.astype(jnp.int32), "esc_val": esc_val,
+            "n_esc": n_esc}
 
 
 def gauss_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
                  esc_pos: jax.Array, esc_val: jax.Array,
-                 ga: GaussAnalytic, lanes: int, n: int) -> jax.Array:
-    """Analytic-gaussian decode; same contract as rans_decode.
+                 gt: GaussTables, lanes: int, n: int) -> jax.Array:
+    """Segment-table gaussian decode; same contract as rans_decode.
 
-    The scan carries NO table state: each step recovers the bin by
-    bisection on _gauss_bound (12 iterations cover L <= 3073+2), tracking
-    bound(lo)/bound(hi) so start/freq need no extra evaluations."""
+    The scan carries NO table state: each step fetches the lane's
+    128-wide bounds row by exact one-hot matmul and recovers the segment
+    as the RANK of the slot among the row's bounds (compare + sum +
+    masked max/min — reductions only, no gather, no function
+    re-evaluation), then pops the k uniform low bits by shifts."""
     T, padded, _ = plane_geometry(n, lanes)
     idx_tl = _to_tl(indexes.astype(jnp.int32), T, lanes, 0)
-    rows = ga.params.shape[0]
-    P = _lookup(_row_onehot(idx_tl.reshape(-1), rows),
-                ga.params).reshape(T, lanes, 8)
+    rows = gt.bounds.shape[0]
     prefix_m = _prefix_matrix(lanes)
     stream_pad = _pad_stream(stream, lanes)
-    n_iters = max(1, int(np.ceil(np.log2(
-        2.0 * np.ceil(SUPPORT_SIGMAS * 256.0) + 2.0))))
+    bounds, params = gt.bounds, gt.params
 
-    def step(carry, p):
+    def step(carry, row):
         state, ptr = carry
-        inv_sigma, chalf, c, L = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
-        inv_L, eps, phi_lo, inv_den = p[:, 4], p[:, 5], p[:, 6], p[:, 7]
+        oh = _row_onehot(row, rows)                  # (lanes, rows)
+        rowvals = _lookup(oh, bounds)                # (lanes, cols) exact
+        prm = _lookup(oh, params)                    # (lanes, 4)
+        c_i = prm[:, 0].astype(jnp.int32)
+        k_i = prm[:, 2].astype(jnp.int32)
+        ks = (16 - k_i).astype(jnp.uint32)
+        # pop HIGH: h = rank of slot among the row bounds
         slot = state & 0xFFFF
         slot_f = slot.astype(jnp.float32)
         is_esc = slot_f >= GAUSS_B
-        # bisection invariant: bound(lo) <= slot < bound(hi)
-        lo = jnp.zeros_like(slot_f)
-        blo = jnp.zeros_like(slot_f)
-        hi = L
-        bhi = jnp.full_like(slot_f, GAUSS_B)
-        for _ in range(n_iters):
-            mid = jnp.floor((lo + hi) * 0.5)
-            b = _gauss_bound(mid, inv_sigma, chalf, L, inv_L, eps,
-                             phi_lo, inv_den)
-            take = b <= slot_f
-            lo = jnp.where(take, mid, lo)
-            blo = jnp.where(take, b, blo)
-            hi = jnp.where(take, hi, mid)
-            bhi = jnp.where(take, bhi, b)
-        start = jnp.where(is_esc, GAUSS_B, blo)
-        freq = jnp.where(is_esc, 65536.0, bhi) - start
+        le = rowvals <= slot_f[:, None]
+        h = jnp.sum(le.astype(jnp.float32), -1).astype(jnp.int32) - 1
+        b0 = jnp.max(jnp.where(le, rowvals, 0.0), -1)
+        b1 = jnp.min(jnp.where(le, jnp.float32(65536.0), rowvals), -1)
+        start = jnp.where(is_esc, jnp.float32(GAUSS_B), b0)
+        freq = jnp.where(is_esc, jnp.float32(65536.0), b1) - start
+        h = jnp.where(is_esc, 0, h)
         state = (freq.astype(jnp.uint32) * (state >> 16)
                  + (slot - start.astype(jnp.uint32)))
         need = (state < RENORM_BASE).astype(jnp.float32)
@@ -700,14 +804,58 @@ def gauss_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
         read = _stream_read(stream_pad, ptr, rank_f, lanes)
         state = jnp.where(need > 0, (state << 16) | read, state)
         ptr = ptr + total.astype(jnp.uint32)
-        return (state, ptr), (lo - c).astype(jnp.int32)
+        # pop LOW (k uniform bits; k = 0 rows are an exact identity)
+        slot2 = state & 0xFFFF
+        lowv = (slot2 >> ks).astype(jnp.int32)
+        freq_l = jnp.uint32(1) << ks
+        state = ((state >> 16) << ks) + (slot2 & (freq_l - 1))
+        need2 = (state < RENORM_BASE).astype(jnp.float32)
+        rank2, total2 = _rank_total(need2, prefix_m, lanes)
+        read2 = _stream_read(stream_pad, ptr, rank2, lanes)
+        state = jnp.where(need2 > 0, (state << 16) | read2, state)
+        ptr = ptr + total2.astype(jnp.uint32)
+        sym = (jax.lax.shift_left(h, k_i) | lowv) - c_i
+        return (state, ptr), sym
 
     init = (states.astype(jnp.uint32), jnp.uint32(0))
-    _, sym_tl = jax.lax.scan(step, init, P, unroll=SCAN_UNROLL)
+    _, sym_tl = jax.lax.scan(step, init, idx_tl, unroll=SCAN_UNROLL)
     sym_flat = sym_tl.reshape(-1)
     # substitute escaped values (side list; padding positions drop)
     sym_flat = sym_flat.at[esc_pos].set(esc_val, mode="drop")
     return sym_flat[:n]
+
+
+# ---------------------------------------------------------------------------
+# batched gaussian entry points (implementation dispatch)
+# ---------------------------------------------------------------------------
+
+
+def gauss_encode_batch(sym_b: jax.Array, idx_b: jax.Array,
+                       gt: GaussTables, lanes: int):
+    """(B, n) batched gaussian encode; per-image output dict stacked on
+    axis 0. Encode is bulk matmuls + the cheap scan — plain vmapped XLA
+    for every GAUSS_IMPL (the Pallas kernel only accelerates decode)."""
+    return jax.vmap(lambda s, i: gauss_encode(s, i, gt, lanes)
+                    )(sym_b, idx_b)
+
+
+def gauss_decode_batch(stream_b: jax.Array, states_b: jax.Array,
+                       idx_b: jax.Array, esc_pos_b: jax.Array,
+                       esc_val_b: jax.Array, gt: GaussTables,
+                       lanes: int, n: int) -> jax.Array:
+    """(B, ...) batched gaussian decode -> (B, n) i32. GAUSS_IMPL picks
+    the lowering; v2 streams are cross-decodable between XLA and Pallas
+    (all coding arithmetic is exact integer work on both)."""
+    if GAUSS_IMPL == "pallas":
+        from . import pallas_rans
+        if pallas_rans.supported(lanes):
+            return pallas_rans.gauss_decode_batch(
+                stream_b, states_b, idx_b, esc_pos_b, esc_val_b, gt,
+                lanes, n)
+    return jax.vmap(
+        lambda st, sa, ix, ep, ev: gauss_decode(
+            st, sa, ix, ep, ev, gt, lanes, n)
+    )(stream_b, states_b, idx_b, esc_pos_b, esc_val_b)
 
 
 # ---------------------------------------------------------------------------

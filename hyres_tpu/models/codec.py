@@ -587,13 +587,16 @@ def pull_encs(encs: Sequence[Dict], extra: jax.Array | None = None,
 class TpuPlaneCoder:
     """Device-side rANS coder bound to one baked table set.
 
-    Gaussian (y) planes use the TABLE-FREE analytic coder
-    (tpu_rans.gauss_encode/gauss_decode): the 64x3133 scale-table CDFs
-    would cost (n, 3133) f32 intermediates in bulk lookups and a
-    per-symbol LUT gather in the decode scan — the analytic bounds are
-    recomputed on the fly from (bin, sigma) instead, so batching scales.
-    Factorized-prior (z) planes keep the baked per-channel tables (their
-    densities are learned, not analytic; the tables are tiny).
+    Gaussian (y) planes use the segment-table coder
+    (tpu_rans.gauss_encode/gauss_decode): a 64x128 bounds table plus
+    uniform low bits replaces the 64x3133 scale-table CDFs — no (n, 3133)
+    f32 intermediates in bulk lookups, no per-symbol LUT gather in the
+    decode scan, and (unlike the round-3 analytic-erf coder) no
+    recomputed f32 rounding in the wire contract, so encoder and decoder
+    agree bit-for-bit on every backend by construction (see the design
+    note in coding/tpu_rans.py). Factorized-prior (z) planes keep the
+    baked per-channel tables (their densities are learned, not analytic;
+    the tables are tiny).
 
     All three planes of an image (z, y-anchor, y-non-anchor) encode in
     ONE device program; each decode scan is its own program so the
@@ -608,7 +611,7 @@ class TpuPlaneCoder:
     def __init__(self, gauss_tables, eb_tables, scale_table=None):
         if scale_table is None:
             scale_table = get_scale_table()
-        self.gauss_ana = tpu_rans.build_gauss_analytic(scale_table)
+        self.gauss_ana = tpu_rans.build_gauss_tables(scale_table)
         self.eb_dev = tpu_rans.build_device_tables(eb_tables)
 
         gauss_ana, eb_dev = self.gauss_ana, self.eb_dev
@@ -626,10 +629,9 @@ class TpuPlaneCoder:
             B = sym.shape[0]
             n = int(np.prod(sym.shape[1:]))
             lanes = min(tpu_rans.GAUSS_LANES, tpu_rans.lanes_for(n))
-            return jax.vmap(
-                lambda s, i: tpu_rans.gauss_encode(s, i, gauss_ana, lanes)
-            )(sym.astype(jnp.int32).reshape(B, -1),
-              idx.astype(jnp.int32).reshape(B, -1))
+            return tpu_rans.gauss_encode_batch(
+                sym.astype(jnp.int32).reshape(B, -1),
+                idx.astype(jnp.int32).reshape(B, -1), gauss_ana, lanes)
 
         def _z_idx(z_sym):
             C = z_sym.shape[-1]
@@ -653,11 +655,9 @@ class TpuPlaneCoder:
         def decode_gauss(stream, states, idx, esc_pos, esc_val, lanes: int):
             B = idx.shape[0]
             n = int(np.prod(idx.shape[1:]))
-            sym = jax.vmap(
-                lambda st, sa, ix, ep, ev: tpu_rans.gauss_decode(
-                    st, sa, ix, ep, ev, gauss_ana, lanes, n)
-            )(stream, states, idx.astype(jnp.int32).reshape(B, -1),
-              esc_pos, esc_val)
+            sym = tpu_rans.gauss_decode_batch(
+                stream, states, idx.astype(jnp.int32).reshape(B, -1),
+                esc_pos, esc_val, gauss_ana, lanes, n)
             sym = jnp.clip(sym, -32000, 32000).astype(jnp.int16)
             return sym.reshape(idx.shape)
 
@@ -685,7 +685,7 @@ class TpuPlaneCoder:
     @staticmethod
     def gauss_meta(n: int) -> Tuple[int, int]:
         lanes = min(tpu_rans.GAUSS_LANES, tpu_rans.lanes_for(n))
-        return lanes, tpu_rans.stream_cap(n, lanes)
+        return lanes, tpu_rans.stream_cap(n, lanes, words=2)
 
     @staticmethod
     def eb_meta(n: int) -> Tuple[int, int]:

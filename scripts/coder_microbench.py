@@ -43,7 +43,7 @@ def _time(fn, *args, reps=20):
 def bench_gauss(n: int, lanes: int, rng: np.random.Generator):
     """Gaussian-conditional plane: encode + decode, report ms + check."""
     scale_table = np.exp(np.linspace(np.log(0.11), np.log(256.0), 64))
-    ga = tr.build_gauss_analytic(scale_table)
+    ga = tr.build_gauss_tables(scale_table)
     idx = rng.integers(8, 40, n).astype(np.int32)
     sigma = scale_table[idx]
     sym = np.clip(np.round(rng.normal(0, sigma)), -1000, 1000).astype(np.int32)

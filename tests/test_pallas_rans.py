@@ -1,0 +1,110 @@
+"""Pallas gaussian-decode kernel vs the XLA lax.scan reference.
+
+The v2 segment-table coder has no recomputed f32 rounding in its wire
+contract (see coding/tpu_rans.py), so XLA-framed streams are decodable
+by the Pallas kernel BIT-FOR-BIT on any backend — these tests run the
+kernel in interpret mode on CPU; scripts/coder_microbench.py exercises
+the same cross-decode on-chip.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hyres_tpu.coding import tpu_rans as tr
+from hyres_tpu.coding import pallas_rans as pr
+
+
+def _scale_table():
+    return np.exp(np.linspace(np.log(0.11), np.log(256.0), 64))
+
+
+def _plane(rng, n, wide=False):
+    st = _scale_table()
+    hi = 64 if wide else 40
+    idx = rng.integers(5, hi, n).astype(np.int32)
+    sigma = st[idx]
+    sym = np.round(rng.normal(0, sigma, n)).astype(np.int32)
+    sym = np.clip(sym, -30000, 30000)
+    return sym, idx
+
+
+def _encode_and_unframe(sym, idx, gt, lanes):
+    B, n = sym.shape
+    enc = tr.gauss_encode_batch(jnp.asarray(sym), jnp.asarray(idx),
+                                gt, lanes)
+    ups = [tr.unframe_plane(tr.frame_plane(
+        np.asarray(enc["states"][i]), np.asarray(enc["stream"][i]),
+        int(enc["n_renorm"][i]), np.asarray(enc["esc_pos"][i]),
+        np.asarray(enc["esc_val"][i]), int(enc["n_esc"][i])), n)
+        for i in range(B)]
+    smax = max(u[2].shape[0] for u in ups)
+    stream_b = np.zeros((B, smax), np.uint16)
+    for i, u in enumerate(ups):
+        stream_b[i, : u[2].shape[0]] = u[2]
+    return (jnp.asarray(stream_b),
+            jnp.asarray(np.stack([u[1] for u in ups])),
+            jnp.asarray(np.stack([u[3] for u in ups])),
+            jnp.asarray(np.stack([u[4] for u in ups])))
+
+
+@pytest.mark.parametrize("B,n,wide", [(1, 1000, False), (3, 5000, False),
+                                      (8, 40000, True)])
+def test_pallas_decodes_xla_stream(B, n, wide):
+    """XLA encode -> frame -> unframe -> Pallas decode recovers the
+    symbols bit-exactly, wide trained stats and escapes included."""
+    rng = np.random.default_rng(1)
+    lanes = 128
+    gt = tr.build_gauss_tables(_scale_table())
+    pairs = [_plane(rng, n, wide) for _ in range(B)]
+    sym = np.stack([p[0] for p in pairs])
+    idx = np.stack([p[1] for p in pairs])
+    # force a few escapes in image 0
+    sym[0, :5] = np.array([31000, -31000, 29000, -29000, 28000])
+    idx[0, :5] = 5
+
+    stream_b, states_b, esc_pos_b, esc_val_b = _encode_and_unframe(
+        sym, idx, gt, lanes)
+    dec = pr.gauss_decode_batch(stream_b, states_b, jnp.asarray(idx),
+                                esc_pos_b, esc_val_b, gt, lanes, n)
+    np.testing.assert_array_equal(np.asarray(dec), sym)
+
+
+def test_pallas_matches_xla_decode():
+    """Pallas and XLA decoders produce identical symbols from the same
+    frames (same exact-integer arithmetic, different lowerings)."""
+    rng = np.random.default_rng(2)
+    lanes, n, B = 128, 20000, 2
+    gt = tr.build_gauss_tables(_scale_table())
+    pairs = [_plane(rng, n, wide=True) for _ in range(B)]
+    sym = np.stack([p[0] for p in pairs])
+    idx = np.stack([p[1] for p in pairs])
+
+    stream_b, states_b, esc_pos_b, esc_val_b = _encode_and_unframe(
+        sym, idx, gt, lanes)
+    dec_p = pr.gauss_decode_batch(stream_b, states_b, jnp.asarray(idx),
+                                  esc_pos_b, esc_val_b, gt, lanes, n)
+    dec_x = jax.vmap(
+        lambda st, sa, ix, ep, ev: tr.gauss_decode(
+            st, sa, ix, ep, ev, gt, lanes, n)
+    )(stream_b, states_b, jnp.asarray(idx), esc_pos_b, esc_val_b)
+    np.testing.assert_array_equal(np.asarray(dec_p), np.asarray(dec_x))
+    np.testing.assert_array_equal(np.asarray(dec_p), sym)
+
+
+def test_batch_dispatch_flag(monkeypatch):
+    """gauss_decode_batch dispatches on GAUSS_IMPL and falls back to XLA
+    for unsupported lane counts."""
+    rng = np.random.default_rng(3)
+    lanes, n, B = 64, 2000, 2   # 64 lanes: pallas unsupported -> XLA
+    gt = tr.build_gauss_tables(_scale_table())
+    pairs = [_plane(rng, n) for _ in range(B)]
+    sym = np.stack([p[0] for p in pairs])
+    idx = np.stack([p[1] for p in pairs])
+    stream_b, states_b, esc_pos_b, esc_val_b = _encode_and_unframe(
+        sym, idx, gt, lanes)
+    monkeypatch.setattr(tr, "GAUSS_IMPL", "pallas")
+    dec = tr.gauss_decode_batch(stream_b, states_b, jnp.asarray(idx),
+                                esc_pos_b, esc_val_b, gt, lanes, n)
+    np.testing.assert_array_equal(np.asarray(dec), sym)

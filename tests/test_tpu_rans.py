@@ -212,19 +212,19 @@ def test_escape_value_beyond_i16_overflows():
 
 
 # ---------------------------------------------------------------------------
-# analytic gaussian coder
+# segment-table gaussian coder (v2)
 # ---------------------------------------------------------------------------
 
 
 @pytest.fixture(scope="module")
-def ga():
+def gt():
     from hyres_tpu.entropy import get_scale_table
-    return tpu_rans.build_gauss_analytic(get_scale_table())
+    return tpu_rans.build_gauss_tables(get_scale_table())
 
 
-def _ga_roundtrip(sym, idx, ga, lanes):
+def _gt_roundtrip(sym, idx, gt, lanes):
     enc = jax.jit(tpu_rans.gauss_encode, static_argnums=(3,))(
-        jnp.asarray(sym), jnp.asarray(idx), ga, lanes)
+        jnp.asarray(sym), jnp.asarray(idx), gt, lanes)
     data = tpu_rans.frame_plane(
         np.asarray(enc["states"]), np.asarray(enc["stream"]),
         int(enc["n_renorm"]), np.asarray(enc["esc_pos"]),
@@ -234,25 +234,59 @@ def _ga_roundtrip(sym, idx, ga, lanes):
     assert lanes2 == lanes
     got = jax.jit(tpu_rans.gauss_decode, static_argnums=(6, 7))(
         jnp.asarray(stream), jnp.asarray(states), jnp.asarray(idx),
-        jnp.asarray(esc_pos), jnp.asarray(esc_val), ga, lanes, sym.size)
+        jnp.asarray(esc_pos), jnp.asarray(esc_val), gt, lanes, sym.size)
     return np.asarray(got), data
 
 
-def test_gauss_analytic_roundtrip(ga):
+def test_gauss_tables_valid(gt):
+    """Host-built tables are a valid coding contract: per row, bounds
+    strictly increase from 0 to GAUSS_B over nseg segments (every
+    segment >= 1 slot), padding is 65536, k/nseg consistent with L."""
+    B = np.asarray(gt.bounds)
+    P = np.asarray(gt.params)
+    for r in range(B.shape[0]):
+        c, L, k, nseg = (int(x) for x in P[r])
+        assert nseg == -(-L // (1 << k)) and nseg <= 127
+        assert L == 2 * c + 1
+        brow = B[r, : nseg + 1]
+        assert brow[0] == 0.0 and brow[nseg] == tpu_rans.GAUSS_B
+        assert np.all(np.diff(brow) >= 1.0), f"row {r} zero-width segment"
+        assert np.all(B[r, nseg + 1:] == 65536.0)
+
+
+def test_gauss_roundtrip(gt):
     from hyres_tpu.entropy import get_scale_table
     rng = np.random.default_rng(0)
     n = 20000
     idx = rng.integers(0, 64, n).astype(np.int32)
     sigma = np.asarray(get_scale_table())[idx]
     sym = np.round(rng.normal(0, sigma)).astype(np.int32)
-    got, data = _ga_roundtrip(sym, idx, ga, lanes=64)
+    got, data = _gt_roundtrip(sym, idx, gt, lanes=64)
     np.testing.assert_array_equal(got, sym)
     # rate sanity: within a few % of the gaussian entropy
     ent_bits = float(np.sum(0.5 * np.log2(2 * np.pi * np.e * sigma**2).clip(1)))
     assert len(data) * 8 <= ent_bits * 1.06 + (64 * 4 + 6) * 8
 
 
-def test_gauss_analytic_support_edges_roundtrip(ga):
+def test_gauss_roundtrip_wide_sigmas(gt):
+    """REGRESSION: the round-3 analytic-erf coder corrupted planes with
+    wide trained stats (context-dependent f32 transcendental rounding,
+    see the design note in coding/tpu_rans.py). v2 must roundtrip any
+    scale mix bit-exactly, escapes included."""
+    from hyres_tpu.entropy import get_scale_table
+    rng = np.random.default_rng(2)
+    st = np.asarray(get_scale_table())
+    n = 20000
+    idx = rng.integers(5, 64, n).astype(np.int32)
+    sym = np.clip(np.round(rng.normal(0, st[idx], n)),
+                  -30000, 30000).astype(np.int32)
+    sym[:5] = [31000, -31000, 29000, -29000, 28000]
+    idx[:5] = 5
+    got, _ = _gt_roundtrip(sym, idx, gt, lanes=128)
+    np.testing.assert_array_equal(got, sym)
+
+
+def test_gauss_support_edges_roundtrip(gt):
     """Every row's extreme in-support bins and just-outside (escape)
     values roundtrip exactly."""
     from hyres_tpu.entropy import get_scale_table
@@ -265,62 +299,87 @@ def test_gauss_analytic_support_edges_roundtrip(ga):
             rows.append((r, s))
     idx = np.array([r for r, _ in rows], np.int32)
     sym = np.array([s for _, s in rows], np.int32)
-    got, _ = _ga_roundtrip(sym, idx, ga, lanes=32)
+    got, _ = _gt_roundtrip(sym, idx, gt, lanes=32)
     np.testing.assert_array_equal(got, sym)
 
 
-def test_gauss_bound_bulk_vs_scan_identical(ga):
-    """THE exactness contract: _gauss_bound evaluated in a bulk program
-    (encode side) and inside a lax.scan (decode side) must agree
-    bit-for-bit for every (row, bin edge) — a 1-ulp difference desyncs
-    the coder. XLA f32 elementwise ops have no FP contraction, so the
-    jaxpr shared by both sides must lower identically; this test pins
-    that on whatever backend runs it."""
-    rows_n = 64
-    P = np.asarray(ga.params)
-    Lmax = int(P[:, 3].max())
-    # all (row, v) pairs, v in [0, L_r] (clip above L_r is exercised too)
-    vs = np.arange(Lmax + 1, dtype=np.float32)
-    ridx = np.repeat(np.arange(rows_n, dtype=np.int32), vs.size)
-    v_all = np.tile(vs, rows_n)
+def _numpy_gauss_encode(sym, idx, gt, lanes):
+    """Exact-integer reference encoder (u64 arithmetic, host tables).
 
-    def bulk(v, idxf):
-        p = tpu_rans._lookup(tpu_rans._row_onehot(idxf, rows_n), ga.params)
-        return tpu_rans._gauss_bound(v, p[:, 0], p[:, 1], p[:, 3], p[:, 4],
-                                     p[:, 5], p[:, 6], p[:, 7])
+    THE exactness contract: the jitted encoder must reproduce this wire
+    BIT-FOR-BIT — v2's design guarantee is that no device-side coding
+    quantity depends on context-sensitive f32 rounding (the round-3
+    analytic coder failed exactly this check at wide sigmas)."""
+    B = np.asarray(gt.bounds).astype(np.int64)
+    P = np.asarray(gt.params).astype(np.int64)
+    n = sym.size
+    T = -(-n // lanes)
+    sym_tl = np.zeros(T * lanes, np.int64)
+    sym_tl[:n] = sym
+    idx_tl = np.zeros(T * lanes, np.int64)
+    idx_tl[:n] = idx
+    c, L, k = P[idx_tl, 0], P[idx_tl, 1], P[idx_tl, 2]
+    v = sym_tl + c
+    esc = (v < 0) | (v >= L)
+    vv = np.where(esc, 0, v)
+    h = vv >> k
+    low = vv & ((1 << k) - 1)
+    b0 = B[idx_tl, h]
+    b1 = B[idx_tl, h + 1]
+    start_h = np.where(esc, int(tpu_rans.GAUSS_B), b0).reshape(T, lanes)
+    freq_h = np.where(esc, int(tpu_rans.GAUSS_ESC_FREQ),
+                      b1 - b0).reshape(T, lanes)
+    low = low.reshape(T, lanes)
+    ks = (16 - k).reshape(T, lanes)
+    state = np.full(lanes, 1 << 16, np.uint64)
+    emits = np.zeros((T, 2, lanes), np.uint16)
+    masks = np.zeros((T, 2, lanes), bool)
+    for t in range(T - 1, -1, -1):
+        fl = (np.uint64(1) << ks[t].astype(np.uint64))
+        emits[t, 1] = (state & np.uint64(0xFFFF)).astype(np.uint16)
+        need = (state >> np.uint64(16)) >= fl
+        masks[t, 1] = need
+        state = np.where(need, state >> np.uint64(16), state)
+        state = (((state >> ks[t].astype(np.uint64)) << np.uint64(16))
+                 + (low[t].astype(np.uint64) << ks[t].astype(np.uint64))
+                 + (state & (fl - np.uint64(1))))
+        fh = freq_h[t].astype(np.uint64)
+        emits[t, 0] = (state & np.uint64(0xFFFF)).astype(np.uint16)
+        need = (state >> np.uint64(16)) >= fh
+        masks[t, 0] = need
+        state = np.where(need, state >> np.uint64(16), state)
+        q, r = state // fh, state % fh
+        state = (q << np.uint64(16)) + r + start_h[t].astype(np.uint64)
+    stream = emits.reshape(-1)[masks.reshape(-1)]
+    return state.astype(np.uint32), stream
 
-    def scanned(v, idxf):
-        p = tpu_rans._lookup(tpu_rans._row_onehot(idxf, rows_n), ga.params)
 
-        def step(_, xs):
-            vv, pr = xs
-            b = tpu_rans._gauss_bound(vv, pr[:, 0], pr[:, 1], pr[:, 3],
-                                      pr[:, 4], pr[:, 5], pr[:, 6], pr[:, 7])
-            return None, b
-
-        _, out = jax.lax.scan(step, None,
-                              (v.reshape(-1, 64), p.reshape(-1, 64, 8)))
-        return out.reshape(-1)
-
-    pad = (-v_all.size) % 64
-    v_pad = np.pad(v_all, (0, pad))
-    r_pad = np.pad(ridx, (0, pad))
-    a = np.asarray(jax.jit(bulk)(jnp.asarray(v_pad), jnp.asarray(r_pad)))
-    b = np.asarray(jax.jit(scanned)(jnp.asarray(v_pad), jnp.asarray(r_pad)))
-    np.testing.assert_array_equal(a, b)
-    # and the bounds are a valid quantized CDF per row: strictly
-    # monotone with every bin >= 1 slot wide, ending exactly at B
-    a2 = a[: v_all.size].reshape(rows_n, -1)
-    for r in range(rows_n):
-        L = int(P[r, 3])
-        brow = a2[r, : L + 1]
-        assert brow[0] == 0.0 and brow[L] == tpu_rans.GAUSS_B
-        assert np.all(np.diff(brow) >= 1.0), f"row {r} has a zero-width bin"
+def test_gauss_encode_matches_numpy_reference(gt):
+    """Jitted encode (bulk matmuls + scan) == exact u64 numpy reference,
+    bit-for-bit, over a wide-scale plane with escapes."""
+    from hyres_tpu.entropy import get_scale_table
+    rng = np.random.default_rng(3)
+    st = np.asarray(get_scale_table())
+    n = 30000
+    lanes = 128
+    idx = rng.integers(0, 64, n).astype(np.int32)
+    sym = np.clip(np.round(rng.normal(0, st[idx], n)),
+                  -30000, 30000).astype(np.int32)
+    sym[:3] = [31000, -31000, 30000]
+    idx[:3] = 8
+    enc = jax.jit(tpu_rans.gauss_encode, static_argnums=(3,))(
+        jnp.asarray(sym), jnp.asarray(idx), gt, lanes)
+    states_ref, stream_ref = _numpy_gauss_encode(sym, idx, gt, lanes)
+    np.testing.assert_array_equal(np.asarray(enc["states"]), states_ref)
+    assert int(enc["n_renorm"]) == stream_ref.size
+    np.testing.assert_array_equal(
+        np.asarray(enc["stream"])[: stream_ref.size], stream_ref)
 
 
-def test_gauss_analytic_rate_close_to_table_coder(ga, gauss_tables):
-    """The analytic quantization's rate matches the baked-table coder's
-    within ~1% on trained-like symbol statistics."""
+def test_gauss_rate_close_to_table_coder(gt, gauss_tables):
+    """The segment quantization's rate (incl. the uniform low bits)
+    matches the baked-table coder's within ~2% on trained-like symbol
+    statistics."""
     from hyres_tpu.entropy import get_scale_table
     host, dev = gauss_tables
     rng = np.random.default_rng(7)
@@ -328,10 +387,10 @@ def test_gauss_analytic_rate_close_to_table_coder(ga, gauss_tables):
     idx = rng.integers(0, 40, n).astype(np.int32)  # typical scales
     sigma = np.asarray(get_scale_table())[idx]
     sym = np.round(rng.normal(0, sigma)).astype(np.int32)
-    _, data_a = _ga_roundtrip(sym, idx, ga, lanes=64)
+    _, data_a = _gt_roundtrip(sym, idx, gt, lanes=64)
     got, data_t = _roundtrip(sym, idx, dev, lanes=64)
     np.testing.assert_array_equal(got, sym)
-    assert len(data_a) <= len(data_t) * 1.01 + 64
+    assert len(data_a) <= len(data_t) * 1.02 + 64
 
 
 @pytest.mark.parametrize("dtype,density", [(np.int8, 0.02), (np.int16, 0.9)])
@@ -413,7 +472,7 @@ def test_route_monotone_matches_onehot(lanes):
     ("ladder", "slice"), ("matmul", "shift"), ("ladder", "shift"),
 ])
 def test_vpu_scan_modes_bit_identical_roundtrip(
-        monkeypatch, ga, gauss_tables, prefix_mode, stream_read):
+        monkeypatch, gt, gauss_tables, prefix_mode, stream_read):
     """Every (prefix, stream-read) lowering decodes the DEFAULT-mode
     encoder's bytes exactly — the wire format is lowering-independent."""
     _, dev = gauss_tables
@@ -424,7 +483,7 @@ def test_vpu_scan_modes_bit_identical_roundtrip(
     sigma = np.asarray(get_scale_table())[idx]
     sym = np.round(rng.normal(0, sigma)).astype(np.int32)
 
-    got_g, data_g = _ga_roundtrip(sym, idx, ga, lanes=128)
+    got_g, data_g = _gt_roundtrip(sym, idx, gt, lanes=128)
     got_t, data_t = _roundtrip(sym, idx, dev, lanes=64)
     np.testing.assert_array_equal(got_g, sym)
     np.testing.assert_array_equal(got_t, sym)
@@ -436,7 +495,7 @@ def test_vpu_scan_modes_bit_identical_roundtrip(
         data_g, n)
     got2 = np.asarray(jax.jit(tpu_rans.gauss_decode, static_argnums=(6, 7))(
         jnp.asarray(stream), jnp.asarray(states), jnp.asarray(idx),
-        jnp.asarray(esc_pos), jnp.asarray(esc_val), ga, 128, n))
+        jnp.asarray(esc_pos), jnp.asarray(esc_val), gt, 128, n))
     np.testing.assert_array_equal(got2, sym)
 
     lanes3, states3, stream3, esc_pos3, esc_val3 = tpu_rans.unframe_plane(
@@ -480,7 +539,7 @@ def test_masked_compact_position_fill():
     np.testing.assert_array_equal(np.asarray(out)[3:], n)
 
 
-def test_compact_merge_mode_roundtrip(monkeypatch, ga):
+def test_compact_merge_mode_roundtrip(monkeypatch, gt):
     """Full encode/decode with the merge compactor: same bytes, same
     symbols as the nonzero path."""
     from hyres_tpu.entropy import get_scale_table
@@ -490,9 +549,9 @@ def test_compact_merge_mode_roundtrip(monkeypatch, ga):
     sigma = np.asarray(get_scale_table())[idx]
     sym = np.round(rng.normal(0, sigma)).astype(np.int32)
     sym[::5000] = 32000  # a few escapes
-    got0, data0 = _ga_roundtrip(sym, idx, ga, lanes=128)
+    got0, data0 = _gt_roundtrip(sym, idx, gt, lanes=128)
     monkeypatch.setattr(tpu_rans, "COMPACT_MODE", "merge")
-    got1, data1 = _ga_roundtrip(sym, idx, ga, lanes=128)
+    got1, data1 = _gt_roundtrip(sym, idx, gt, lanes=128)
     np.testing.assert_array_equal(got0, sym)
     np.testing.assert_array_equal(got1, sym)
     assert data0 == data1
