@@ -273,8 +273,9 @@ def supported(lanes: int) -> bool:
 
 
 def _cat_tables(gt) -> jax.Array:
-    """(rows, 256) kernel table: cols 0..127 = bounds row, 128..131 =
-    params [c, L, k, nseg] (integer-valued f32), rest zero."""
+    """(rows, cols+128) kernel table: cols 0..cols-1 = bounds row,
+    cols..cols+3 = params [c, L, k, nseg] (integer-valued f32), rest
+    zero (the params block pads to a full 128-lane tile)."""
     rows = gt.bounds.shape[0]
     pad = jnp.zeros((rows, 128 - 4), jnp.float32)
     return jnp.concatenate([gt.bounds, gt.params, pad], axis=1)

@@ -607,7 +607,11 @@ def rans_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
 GAUSS_B = 65504.0          # value-slot budget; [B, 2^16) = escape bin
 GAUSS_ESC_FREQ = 65536.0 - GAUSS_B
 SUPPORT_SIGMAS = 6.0       # matches the baked tables' 1e-9 tail multiplier
-GAUSS_COLS = 128           # bounds row width (nseg <= 127 segments)
+# Bounds row width (nseg <= GAUSS_COLS-1 segments). 128 = one VPU/MXU
+# lane tile per decode-step fetch; 256 halves k on the widest rows
+# (halves the uniform-low-bits rate penalty) at 2x fetch/reduce cost
+# per scan step — rate/latency knob, resolved by on-chip A/B.
+GAUSS_COLS = int(os.environ.get("HYRES_GAUSS_COLS", "128"))
 # y planes; smaller than the table path's 256: the scan step is cheap
 # enough that halving the per-lane state flush wins. Env override for
 # latency/rate tuning sweeps (each extra lane costs ~2 net flush

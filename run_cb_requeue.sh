@@ -13,6 +13,8 @@ COMMON="--jpeg-quality 1 --batch-size 4 --test-batch-size 4 \
   --patch-size 256 256 --alpha 0 --save-every 50 --min-lr 1e-6 \
   -e 1000 --noise-epochs 400 --lambda 0.013"
 
+bash run_r3_meas.sh 2>&1 | tee matched_r3/r3_meas.log
+
 echo "=== retraining checkerboard ($(date))"
 python -m hyres_tpu.cli.training -d data/ds --model checkerboard \
   --savepath matched_r3/checkerboard $COMMON \
