@@ -61,14 +61,16 @@ Z_LANES = 64
 class TpuCoderTables(NamedTuple):
     """Device-resident coding tables for one CdfTables set.
 
-    TPU gathers are ~25 ns/element (scalarized) even in bulk, so every
-    PER-SYMBOL table access outside the serial scan uses exact one-hot
+    TPU gathers are ~25 ns/element (scalarized) even in bulk, so EVERY
+    per-symbol table access — in-scan included — uses exact one-hot
     f32 matmuls over these small row tables instead (a single-nonzero
     one-hot row sums exactly one product — exact for any value < 2^24).
-    Only the state-dependent in-scan lookup keeps the 65536-slot LUT.
+    The decode scan recovers each bin as the RANK of the slot among the
+    row's CDF bounds (compare + sum + masked max/min reductions over
+    cdf_f32), the same construction as the gaussian coder's segment
+    tables — no 65536-slot LUT, no gather on the serial chain.
     """
 
-    lut_entry: jax.Array   # (rows * 65536,) u32: freq << 16 | (slot - start)
     cdf_f32: jax.Array     # (rows, maxL+1) f32 CDF bounds, 2^17 pad
     off_f32: jax.Array     # (rows,) f32 offset
     maxv_f32: jax.Array    # (rows,) f32 escape bin index (length - 2)
@@ -81,29 +83,15 @@ class TpuCoderTables(NamedTuple):
 
 
 def build_device_tables(t) -> TpuCoderTables:
-    """CdfTables (host numpy, from entropy.build_*_tables) -> device LUTs.
-
-    lut_entry[row, slot] = freq << 16 | (slot - start): everything the
-    decode state update needs in ONE gather (the update is
-    ``state = freq * (state >> 16) + (slot - start)``, and slot - start
-    is a function of the slot, so it can live in the LUT). Symbols are
-    recovered OUTSIDE the scan, gather-free, by counting CDF bounds —
-    the serial chain carries no symbol work.
-    """
+    """CdfTables (host numpy, from entropy.build_*_tables) -> device
+    row tables (integer-valued f32 data; everything the coder reads)."""
     cdf = np.asarray(t.quantized_cdf, np.int64)
     lengths = np.asarray(t.cdf_length, np.int64)
     offsets = np.asarray(t.offset, np.int64)
     rows = cdf.shape[0]
-    slots = np.arange(1 << 16, dtype=np.int64)
-    lut_entry = np.empty((rows, 1 << 16), np.uint32)
     for r in range(rows):
-        bounds = cdf[r, : lengths[r]]          # bounds[0]=0 .. bounds[-1]=2^16
-        s = np.searchsorted(bounds, slots, side="right") - 1
-        start = bounds[s]
-        freq = bounds[s + 1] - start
-        assert freq.max() <= 0xFFFF, "degenerate full-range CDF bin"
-        lut_entry[r] = ((freq.astype(np.uint32)) << 16) | (
-            (slots - start).astype(np.uint32))
+        freqs = np.diff(cdf[r, : lengths[r]])
+        assert freqs.max() <= 0xFFFF, "degenerate full-range CDF bin"
     freqs0 = np.diff(cdf[0, : lengths[0]])
     pad_symbol = int(np.argmax(freqs0[:-1]) + offsets[0])  # skip escape bin
     max_len = cdf.shape[1]
@@ -116,7 +104,6 @@ def build_device_tables(t) -> TpuCoderTables:
         freq_f32[r, :nbins] = np.diff(cdf[r, : lengths[r]])
         cdf_f32[r, : lengths[r]] = cdf[r, : lengths[r]]
     return TpuCoderTables(
-        lut_entry=jnp.asarray(lut_entry.reshape(-1)),
         cdf_f32=jnp.asarray(cdf_f32),
         off_f32=jnp.asarray(offsets.astype(np.float32)),
         maxv_f32=jnp.asarray((lengths - 2).astype(np.float32)),
@@ -511,37 +498,41 @@ def rans_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
     """
     T, padded, _ = plane_geometry(n, lanes)
     idx_tl = _to_tl(indexes.astype(jnp.int32), T, lanes, 0)
-    base_tl = idx_tl.astype(jnp.uint32) << 16  # LUT row base, outside scan
+    rows = tables.cdf.shape[0]
 
     prefix_m = _prefix_matrix(lanes)
     stream_pad = _pad_stream(stream, lanes)
+    bounds_t, off_t = tables.cdf_f32, tables.off_f32
 
-    def step(carry, base):
+    def step(carry, row):
         state, ptr = carry
+        # the bin is the RANK of the slot among the row's CDF bounds;
+        # the row arrives by exact one-hot matmul, start/freq by masked
+        # max/min — reductions only, no gather on the serial chain
+        # (same construction as gauss_decode; the escape bin is just the
+        # row's last bin, so it needs no special casing here)
+        oh = _row_onehot(row, rows)                  # (lanes, rows)
+        rowvals = _lookup(oh, bounds_t)              # (lanes, maxL+1)
+        off = jnp.sum(oh * off_t[None, :], -1)       # (lanes,) exact
         slot = state & 0xFFFF
-        entry = jnp.take(tables.lut_entry, base | slot)
-        # entry = freq << 16 | (slot - start): the full state update in
-        # one gather; symbols are recovered after the scan
-        state = (entry >> 16) * (state >> 16) + (entry & 0xFFFF)
+        slot_f = slot.astype(jnp.float32)
+        le = rowvals <= slot_f[:, None]
+        v = jnp.sum(le.astype(jnp.float32), -1) - 1.0
+        start = jnp.max(jnp.where(le, rowvals, 0.0), -1)
+        b1 = jnp.min(jnp.where(le, jnp.float32(1 << 17), rowvals), -1)
+        freq = b1 - start
+        state = (freq.astype(jnp.uint32) * (state >> 16)
+                 + (slot - start.astype(jnp.uint32)))
         need = (state < RENORM_BASE).astype(jnp.float32)
         rank_f, total = _rank_total(need, prefix_m, lanes)
         read = _stream_read(stream_pad, ptr, rank_f, lanes)
         state = jnp.where(need > 0, (state << 16) | read, state)
         ptr = ptr + total.astype(jnp.uint32)
-        return (state, ptr), slot.astype(jnp.uint16)
+        return (state, ptr), (v + off).astype(jnp.int32)
 
     init = (states.astype(jnp.uint32), jnp.uint32(0))
-    _, slot_tl = jax.lax.scan(step, init, base_tl, unroll=SCAN_UNROLL)
-
-    # bulk symbol recovery, gather-free: the bin index is how many CDF
-    # bounds lie at or below the slot (the row's bounds come from one
-    # exact one-hot matmul; comparisons/sums are exact in f32)
-    rows = tables.cdf.shape[0]
-    A = _row_onehot(idx_tl.reshape(-1), rows)
-    bounds = _lookup(A, tables.cdf_f32)               # (n', maxL+1)
-    slot_f = slot_tl.reshape(-1, 1).astype(jnp.float32)
-    v = jnp.sum((bounds <= slot_f).astype(jnp.float32), -1) - 1.0
-    sym_flat = (v + _lookup(A, tables.off_f32)).astype(jnp.int32)
+    _, sym_tl = jax.lax.scan(step, init, idx_tl, unroll=SCAN_UNROLL)
+    sym_flat = sym_tl.reshape(-1)
     # substitute escaped values (side list; padding positions drop)
     sym_flat = sym_flat.at[esc_pos].set(esc_val, mode="drop")
     return sym_flat[:n]
