@@ -108,3 +108,44 @@ def test_batch_dispatch_flag(monkeypatch):
     dec = tr.gauss_decode_batch(stream_b, states_b, jnp.asarray(idx),
                                 esc_pos_b, esc_val_b, gt, lanes, n)
     np.testing.assert_array_equal(np.asarray(dec), sym)
+
+
+def test_plane_coder_rides_pallas(monkeypatch):
+    """TpuPlaneCoder's jitted decode_gauss dispatches through the Pallas
+    kernel when GAUSS_IMPL=pallas (fresh coder instance => fresh trace),
+    producing the same symbols as the XLA lowering — and an awkward
+    batch (B=9 > MAX_G) exercises the kernel's batch padding."""
+    from hyres_tpu.models.codec import TpuPlaneCoder
+
+    monkeypatch.setattr(tr, "GAUSS_IMPL", "pallas")
+    rng = np.random.default_rng(4)
+    B, H, W, C = 9, 64, 64, 32          # n = 131072 -> the 128-lane tier
+    n = H * W * C
+    lanes = min(tr.GAUSS_LANES, tr.lanes_for(n))
+    assert lanes == 128 and pr.supported(lanes)
+    st = _scale_table()
+    # trained-like scales: the big-plane stream cap budgets 4 bits/sym
+    # (uniform-over-all-rows synthetic data legitimately overflows it
+    # and would take the host-fallback path instead)
+    idx = rng.integers(0, 36, (B, H, W, C)).astype(np.int32)
+    sym = np.clip(np.round(rng.normal(0, st[idx])), -30000, 30000
+                  ).astype(np.int16)
+
+    # minimal factorized tables (the gauss path is what's under test)
+    import types
+    pmf = np.exp(-0.5 * ((np.arange(31) - 15) / 3.0) ** 2)
+    freqs = np.maximum(1, np.round(pmf / pmf.sum() * 65000)).astype(np.int64)
+    freqs = np.concatenate([freqs, [65536 - freqs.sum()]])
+    bounds = np.concatenate([[0], np.cumsum(freqs)])
+    eb = types.SimpleNamespace(
+        quantized_cdf=np.tile(bounds, (C, 1)).astype(np.int32),
+        cdf_length=np.full(C, bounds.size, np.int32),
+        offset=np.full(C, -15, np.int32))
+
+    tc = TpuPlaneCoder(None, eb)
+    enc = tc.encode_gauss(jnp.asarray(sym), jnp.asarray(idx))
+    frames = TpuPlaneCoder.frames_from_enc(
+        jax.tree_util.tree_map(np.asarray, enc))
+    u = TpuPlaneCoder.unframe_batch(frames, n)
+    got = tc.decode_gauss(u[2], u[1], jnp.asarray(idx), u[3], u[4], u[0])
+    np.testing.assert_array_equal(np.asarray(got), sym)
