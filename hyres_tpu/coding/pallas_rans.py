@@ -132,13 +132,16 @@ def _decode_kernel(row_ref, tab_ref, stream_ref, states_ref, out_ref,
             ptr_scr[i] = 0
 
     R = stream_ref.shape[1]
-    cols = 128
+    cols = tab_ref.shape[1] - 128        # bounds width (see _cat_tables)
     upper = jnp.minimum(TC, T - k * TC)
-    tab = tab_ref[...]                               # (rows, 256) f32
+    tab = tab_ref[...]                               # (rows, cols+128) f32
 
     def read_renorm(state, ptr_list):
         """One renorm round: lanes with state < 2^16 read the next
-        stream words (per-image pointer) in lane order."""
+        stream words (per-image pointer) in lane order. The stream is
+        always packed in 128-wide rows; the rotation happens at width
+        128 and slices down to `lanes` (reads are consecutive from ptr,
+        and at most `lanes` <= 128 of them happen per round)."""
         need = state < tr.RENORM_BASE
         need_f = need.astype(jnp.float32)
         rank_f, incl = _ladder_prefix(need_f, lanes)
@@ -150,14 +153,14 @@ def _decode_kernel(row_ref, tab_ref, stream_ref, states_ref, out_ref,
             # the stream rows carry +2 rows of zero padding)
             r = jnp.minimum(jax.lax.shift_right_logical(p, 7), R - 2)
             win2 = stream_ref[i, pl.ds(r, 2), :]     # (1, 2, 128) u32
-            win2 = win2.reshape(2, lanes)
+            win2 = win2.reshape(2, 128)
             win_a.append(win2[0:1])
             win_b.append(win2[1:2])
             o_list.append(p)
-        a = jnp.concatenate(win_a, axis=0)           # (G, lanes)
+        a = jnp.concatenate(win_a, axis=0)           # (G, 128)
         b = jnp.concatenate(win_b, axis=0)
         o_col = jnp.stack(o_list).reshape(G, 1) & 0x7F
-        win = _funnel_rot(a, b, o_col, lanes)
+        win = _funnel_rot(a, b, o_col, 128)[:, :lanes]
         read = _route_monotone_rows(
             win.astype(jnp.float32), rank_f, lanes).astype(jnp.uint32)
         state = jnp.where(need, (state << 16) | read, state)
@@ -173,9 +176,9 @@ def _decode_kernel(row_ref, tab_ref, stream_ref, states_ref, out_ref,
             oh.reshape(G * lanes, rows), tab,
             (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)      # (G*lanes, 256)
-        fetched = fetched.reshape(G, lanes, 256)
-        rowvals = fetched[:, :, :cols]               # (G, lanes, 128)
+            preferred_element_type=jnp.float32)      # (G*lanes, cols+128)
+        fetched = fetched.reshape(G, lanes, cols + 128)
+        rowvals = fetched[:, :, :cols]               # (G, lanes, cols)
         # params columns (see _cat_tables): [c, L, k, nseg]
         c_i = fetched[:, :, cols].astype(jnp.int32)
         k_i = fetched[:, :, cols + 2].astype(jnp.int32)
@@ -216,7 +219,8 @@ def _decode_kernel(row_ref, tab_ref, stream_ref, states_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def _decode_call(row_tl, tab, stream_rows, states, lanes: int, T: int):
-    """row_tl (Bp, Tp, lanes) i32, tab (rows, 256) f32 (bounds || c, k),
+    """row_tl (Bp, Tp, lanes) i32, tab (rows, cols+128) f32 (bounds ||
+    params || pad),
     stream_rows (Bp, R, 128) u32, states (Bp, lanes) u32 ->
     (Bp, Tp, lanes) i32 symbols."""
     Bp, Tp = row_tl.shape[0], row_tl.shape[1]
@@ -235,7 +239,7 @@ def _decode_call(row_tl, tab, stream_rows, states, lanes: int, T: int):
         in_specs=[
             pl.BlockSpec((G, TC, lanes), lambda g, k: (g, k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 256), lambda g, k: (0, 0),
+            pl.BlockSpec(tab.shape, lambda g, k: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, R, 128), lambda g, k: (g, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -268,8 +272,10 @@ def _pad_batch(x: jax.Array) -> Tuple[jax.Array, int]:
 
 
 def supported(lanes: int) -> bool:
-    """v1 kernel restriction: the lane axis must be one full VPU row."""
-    return lanes == 128
+    """Kernel lane tiers: 128 fills a VPU row; 64 (ELIC/Cheng slice
+    planes, z-sized planes) runs at half lane occupancy — still far
+    cheaper than the XLA scan's per-step loop overhead."""
+    return lanes in (64, 128)
 
 
 def _cat_tables(gt) -> jax.Array:
