@@ -278,6 +278,48 @@ def supported(lanes: int) -> bool:
     return lanes in (64, 128)
 
 
+_PROBE_OK = None
+
+
+def probe() -> bool:
+    """One-shot self-test: encode a tiny plane with the XLA encoder and
+    decode it through the REAL kernel; True iff it compiles AND matches
+    bit-for-bit. Cached for the process. This is what lets
+    GAUSS_IMPL=auto route through the kernel safely on backends where
+    Mosaic support hasn't been verified by hand — a compile failure or
+    a wrong-lowering mismatch falls back to the XLA scan instead of
+    crashing (or worse, corrupting) the serving path."""
+    global _PROBE_OK
+    if _PROBE_OK is not None:
+        return _PROBE_OK
+    try:
+        n, lanes = TC * 128, 128
+        rng = np.random.default_rng(0)
+        st = np.exp(np.linspace(np.log(0.11), np.log(256.0), 64))
+        gt = tr.build_gauss_tables(st)
+        idx = rng.integers(0, 64, (1, n)).astype(np.int32)
+        sym = np.clip(np.round(rng.normal(0, st[idx])), -30000, 30000
+                      ).astype(np.int32)
+        enc = tr.gauss_encode_batch(jnp.asarray(sym), jnp.asarray(idx),
+                                    gt, lanes)
+        f = tr.frame_plane(
+            np.asarray(enc["states"][0]), np.asarray(enc["stream"][0]),
+            int(enc["n_renorm"][0]), np.asarray(enc["esc_pos"][0]),
+            np.asarray(enc["esc_val"][0]), int(enc["n_esc"][0]))
+        _, states, stream, ep, ev = tr.unframe_plane(f, n)
+        dec = gauss_decode_batch(
+            jnp.asarray(stream[None]), jnp.asarray(states[None]),
+            jnp.asarray(idx), jnp.asarray(ep[None]), jnp.asarray(ev[None]),
+            gt, lanes, n)
+        _PROBE_OK = bool(np.array_equal(np.asarray(dec), sym))
+    except Exception as e:  # Mosaic compile/runtime failure -> XLA path
+        import warnings
+        warnings.warn(f"pallas rANS kernel probe failed ({e!r}); "
+                      "falling back to the XLA decode scan")
+        _PROBE_OK = False
+    return _PROBE_OK
+
+
 def _cat_tables(gt) -> jax.Array:
     """(rows, cols+128) kernel table: cols 0..cols-1 = bounds row,
     cols..cols+3 = params [c, L, k, nseg] (integer-valued f32), rest

@@ -199,17 +199,23 @@ PREFIX_MODE = os.environ.get("HYRES_PREFIX", "matmul")
 # Stream/escape compaction inside the encode program: "nonzero" uses
 # jnp.nonzero (XLA:TPU lowers it as a serialized ~9 ns/element custom
 # fusion — the captured round-3 profile shows 4x 5.15 ms of it per
-# single-image encode, the encode device-time floor); "merge" uses
-# masked_compact below (dense merge-tree, no gather/scatter/sort).
-COMPACT_MODE = os.environ.get("HYRES_COMPACT", "nonzero")
+# single-image encode, the encode device-time floor, and it multiplies
+# by B under vmap); "merge" (default) uses masked_compact below — a
+# dense merge-tree of barrel-shift merges, pure VPU work that
+# vectorizes under vmap (~200M selects for a y plane, well under 1 ms
+# of VPU at 8x128 lanes). Bit-equality between the two is pinned by
+# tests (same bytes); HYRES_COMPACT=nonzero restores the old lowering
+# for A/B timing.
+COMPACT_MODE = os.environ.get("HYRES_COMPACT", "merge")
 
-# Gaussian-plane coder implementation: "xla" (lax.scan, this module) or
-# "pallas" (coding/pallas_rans.py — Mosaic kernels: whole decode scan in
-# one kernel, sublane-batched up to 8 images in lockstep). The choice
-# switches BOTH directions at once: the quantized CDF is defined by
-# _gauss_bound's f32 rounding, and only same-compiler encode/decode are
-# guaranteed to round identically (see pallas_rans module docstring).
-GAUSS_IMPL = os.environ.get("HYRES_GAUSS_IMPL", "xla")
+# Gaussian-plane DECODE lowering: "xla" (lax.scan, this module),
+# "pallas" (coding/pallas_rans.py — the whole decode scan in one Mosaic
+# kernel, sublane-batched up to 8 images in lockstep), or "auto"
+# (default: pallas when a one-shot on-backend self-test decodes a real
+# XLA-framed plane bit-exactly through the kernel, else xla — see
+# pallas_rans.probe). v2 streams are lowering-independent (exact-integer
+# wire contract), so this is purely a latency knob.
+GAUSS_IMPL = os.environ.get("HYRES_GAUSS_IMPL", "auto")
 
 
 def _pad_stream(stream: jax.Array, lanes: int) -> jax.Array:
@@ -840,10 +846,13 @@ def gauss_decode_batch(stream_b: jax.Array, states_b: jax.Array,
                        lanes: int, n: int) -> jax.Array:
     """(B, ...) batched gaussian decode -> (B, n) i32. GAUSS_IMPL picks
     the lowering; v2 streams are cross-decodable between XLA and Pallas
-    (all coding arithmetic is exact integer work on both)."""
-    if GAUSS_IMPL == "pallas":
+    (all coding arithmetic is exact integer work on both). "auto" takes
+    the kernel only after its one-shot bit-exactness self-test passes
+    on this backend (pallas_rans.probe)."""
+    if GAUSS_IMPL in ("pallas", "auto"):
         from . import pallas_rans
-        if pallas_rans.supported(lanes):
+        if pallas_rans.supported(lanes) and (
+                GAUSS_IMPL == "pallas" or pallas_rans.probe()):
             return pallas_rans.gauss_decode_batch(
                 stream_b, states_b, idx_b, esc_pos_b, esc_val_b, gt,
                 lanes, n)

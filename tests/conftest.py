@@ -13,6 +13,12 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# The shipped COMPACT default is "merge" (dense merge-tree — sub-ms on
+# the TPU VPU, but ~100M element-ops per encode on this 1-core CPU test
+# host, ~2.5x suite wall time). Tests pin the fast CPU lowering; the
+# dedicated merge tests monkeypatch COMPACT_MODE and assert the two
+# lowerings produce identical bytes, which is what makes this pin sound.
+os.environ.setdefault("HYRES_COMPACT", "nonzero")
 
 import jax  # noqa: E402
 

@@ -150,3 +150,23 @@ def test_plane_coder_rides_pallas(monkeypatch):
     u = TpuPlaneCoder.unframe_batch(frames, n)
     got = tc.decode_gauss(u[2], u[1], jnp.asarray(idx), u[3], u[4], u[0])
     np.testing.assert_array_equal(np.asarray(got), sym)
+
+
+def test_auto_impl_probe(monkeypatch):
+    """GAUSS_IMPL=auto self-tests the kernel once (bit-exact tiny-plane
+    cross-decode) and then routes through it; the probe passes in
+    interpret mode on CPU."""
+    monkeypatch.setattr(tr, "GAUSS_IMPL", "auto")
+    monkeypatch.setattr(pr, "_PROBE_OK", None)
+    assert pr.probe() is True
+    rng = np.random.default_rng(5)
+    lanes, n, B = 128, 20000, 2
+    gt = tr.build_gauss_tables(_scale_table())
+    pairs = [_plane(rng, n) for _ in range(B)]
+    sym = np.stack([p[0] for p in pairs])
+    idx = np.stack([p[1] for p in pairs])
+    stream_b, states_b, esc_pos_b, esc_val_b = _encode_and_unframe(
+        sym, idx, gt, lanes)
+    dec = tr.gauss_decode_batch(stream_b, states_b, jnp.asarray(idx),
+                                esc_pos_b, esc_val_b, gt, lanes, n)
+    np.testing.assert_array_equal(np.asarray(dec), sym)
