@@ -115,6 +115,39 @@ def _ladder_prefix(need_f: jax.Array, lanes: int
     return incl - need_f, incl
 
 
+def _read_renorm(state, ptr_list, stream_ref, G: int, lanes: int, R):
+    """One renorm round: lanes with state < 2^16 read the next stream
+    words (per-image pointer) in lane order. The stream is always packed
+    in 128-wide rows; the rotation happens at width 128 and slices down
+    to `lanes` (reads are consecutive from ptr, and at most lanes <= 128
+    of them happen per round)."""
+    need = state < tr.RENORM_BASE
+    need_f = need.astype(jnp.float32)
+    rank_f, incl = _ladder_prefix(need_f, lanes)
+    win_a, win_b, o_list = [], [], []
+    for i in range(G):
+        p = ptr_list[i]
+        # clamp: a corrupt/padded-junk stream pointer must never read
+        # past the block (real pointers satisfy r <= R - 2 because the
+        # stream rows carry +2 rows of zero padding)
+        r = jnp.minimum(jax.lax.shift_right_logical(p, 7), R - 2)
+        win2 = stream_ref[i, pl.ds(r, 2), :]         # (1, 2, 128) u32
+        win2 = win2.reshape(2, 128)
+        win_a.append(win2[0:1])
+        win_b.append(win2[1:2])
+        o_list.append(p)
+    a = jnp.concatenate(win_a, axis=0)               # (G, 128)
+    b = jnp.concatenate(win_b, axis=0)
+    o_col = jnp.stack(o_list).reshape(G, 1) & 0x7F
+    win = _funnel_rot(a, b, o_col, 128)[:, :lanes]
+    read = _route_monotone_rows(
+        win.astype(jnp.float32), rank_f, lanes).astype(jnp.uint32)
+    state = jnp.where(need, (state << 16) | read, state)
+    new_ptrs = [ptr_list[i] + incl[i, lanes - 1].astype(jnp.int32)
+                for i in range(G)]
+    return state, new_ptrs
+
+
 # ---------------------------------------------------------------------------
 # decode kernel
 # ---------------------------------------------------------------------------
@@ -137,36 +170,7 @@ def _decode_kernel(row_ref, tab_ref, stream_ref, states_ref, out_ref,
     tab = tab_ref[...]                               # (rows, cols+128) f32
 
     def read_renorm(state, ptr_list):
-        """One renorm round: lanes with state < 2^16 read the next
-        stream words (per-image pointer) in lane order. The stream is
-        always packed in 128-wide rows; the rotation happens at width
-        128 and slices down to `lanes` (reads are consecutive from ptr,
-        and at most `lanes` <= 128 of them happen per round)."""
-        need = state < tr.RENORM_BASE
-        need_f = need.astype(jnp.float32)
-        rank_f, incl = _ladder_prefix(need_f, lanes)
-        win_a, win_b, o_list = [], [], []
-        for i in range(G):
-            p = ptr_list[i]
-            # clamp: a corrupt/padded-junk stream pointer must never read
-            # past the block (real pointers satisfy r <= R - 2 because
-            # the stream rows carry +2 rows of zero padding)
-            r = jnp.minimum(jax.lax.shift_right_logical(p, 7), R - 2)
-            win2 = stream_ref[i, pl.ds(r, 2), :]     # (1, 2, 128) u32
-            win2 = win2.reshape(2, 128)
-            win_a.append(win2[0:1])
-            win_b.append(win2[1:2])
-            o_list.append(p)
-        a = jnp.concatenate(win_a, axis=0)           # (G, 128)
-        b = jnp.concatenate(win_b, axis=0)
-        o_col = jnp.stack(o_list).reshape(G, 1) & 0x7F
-        win = _funnel_rot(a, b, o_col, 128)[:, :lanes]
-        read = _route_monotone_rows(
-            win.astype(jnp.float32), rank_f, lanes).astype(jnp.uint32)
-        state = jnp.where(need, (state << 16) | read, state)
-        new_ptrs = [ptr_list[i] + incl[i, lanes - 1].astype(jnp.int32)
-                    for i in range(G)]
-        return state, new_ptrs
+        return _read_renorm(state, ptr_list, stream_ref, G, lanes, R)
 
     def body(t, _):
         row = row_ref[:, pl.ds(t, 1), :].reshape(G, lanes)   # i32
@@ -272,10 +276,10 @@ def _pad_batch(x: jax.Array) -> Tuple[jax.Array, int]:
 
 
 def supported(lanes: int) -> bool:
-    """Kernel lane tiers: 128 fills a VPU row; 64 (ELIC/Cheng slice
-    planes, z-sized planes) runs at half lane occupancy — still far
+    """Kernel lane tiers: 128 fills a VPU row; 64/32 (ELIC/Cheng slice
+    planes, z-sized planes) run at partial lane occupancy — still far
     cheaper than the XLA scan's per-step loop overhead."""
-    return lanes in (64, 128)
+    return lanes in (32, 64, 128)
 
 
 _PROBE_OK = None
@@ -360,3 +364,192 @@ def gauss_decode_batch(stream_b: jax.Array, states_b: jax.Array,
 
     sym_flat = jax.vmap(sub)(sym_flat, esc_pos_b, esc_val_b)
     return sym_flat[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# factorized-prior (EB / z plane) decode kernel
+# ---------------------------------------------------------------------------
+#
+# Same rank-in-row construction as the gaussian kernel, minus the
+# gaussian specifics: the EB row tables cover the FULL 65536-slot span
+# (the escape/bypass bin is just the row's last bin, overridden from the
+# side list after the scan), there are no uniform low bits, and the
+# symbol is rank-1 plus the row's offset. Replaces the vmapped XLA scan
+# of tpu_rans.rans_decode for supported lane tiers.
+
+
+def _eb_decode_kernel(row_ref, tab_ref, stream_ref, states_ref, out_ref,
+                      st_scr, ptr_scr, *, G: int, lanes: int, T: int,
+                      rows: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        st_scr[...] = states_ref[...]
+        for i in range(G):
+            ptr_scr[i] = 0
+
+    R = stream_ref.shape[1]
+    cols = tab_ref.shape[1] - 128        # bounds width (see _eb_tables)
+    upper = jnp.minimum(TC, T - k * TC)
+    tab = tab_ref[...]                               # (rows, cols+128) f32
+
+    def body(t, _):
+        row = row_ref[:, pl.ds(t, 1), :].reshape(G, lanes)   # i32
+        oh = (row[..., None] == jax.lax.broadcasted_iota(
+            jnp.int32, (G, lanes, rows), 2)).astype(jnp.float32)
+        fetched = jax.lax.dot_general(
+            oh.reshape(G * lanes, rows), tab,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        fetched = fetched.reshape(G, lanes, cols + 128)
+        rowvals = fetched[:, :, :cols]               # CDF bounds, 2^17 pad
+        off = fetched[:, :, cols].astype(jnp.int32)  # row offset
+
+        state = st_scr[...]                          # (G, lanes) u32
+        slot = state & 0xFFFF
+        slot_f = slot.astype(jnp.float32)
+        le = rowvals <= slot_f[..., None]
+        v = jnp.sum(le.astype(jnp.float32), -1).astype(jnp.int32) - 1
+        start = jnp.max(jnp.where(le, rowvals, 0.0), -1)
+        b1 = jnp.min(jnp.where(le, jnp.float32(1 << 17), rowvals), -1)
+        freq = b1 - start
+        state = (freq.astype(jnp.uint32) * (state >> 16)
+                 + (slot - start.astype(jnp.uint32)))
+        ptrs = [ptr_scr[i] for i in range(G)]
+        state, ptrs = _read_renorm(state, ptrs, stream_ref, G, lanes, R)
+        st_scr[...] = state
+        for i in range(G):
+            ptr_scr[i] = ptrs[i]
+
+        out_ref[:, pl.ds(t, 1), :] = (v + off).reshape(G, 1, lanes)
+        return 0
+
+    jax.lax.fori_loop(0, upper, body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _eb_decode_call(row_tl, tab, stream_rows, states, lanes: int, T: int):
+    Bp, Tp = row_tl.shape[0], row_tl.shape[1]
+    rows = tab.shape[0]
+    G = min(Bp, MAX_G)
+    assert Bp % G == 0
+    R = stream_rows.shape[1]
+    NC = Tp // TC
+
+    kern = functools.partial(_eb_decode_kernel, G=G, lanes=lanes, T=T,
+                             rows=rows)
+    grid = (Bp // G, NC)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G, TC, lanes), lambda g, k: (g, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tab.shape, lambda g, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, R, 128), lambda g, k: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, lanes), lambda g, k: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, TC, lanes), lambda g, k: (g, k, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Tp, lanes), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((G, lanes), jnp.uint32),
+            pltpu.SMEM((G,), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(row_tl, tab, stream_rows, states)
+
+
+def _eb_tables(tables) -> jax.Array:
+    """(rows, colsP+128) kernel table: CDF bounds row (2^17-padded to a
+    128 multiple) || [offset, 0...] (a full 128-lane params tile)."""
+    rows, w = tables.cdf_f32.shape
+    colsP = -(-w // 128) * 128
+    bounds = jnp.pad(tables.cdf_f32, ((0, 0), (0, colsP - w)),
+                     constant_values=float(1 << 17))
+    params = jnp.zeros((rows, 128), jnp.float32)
+    params = params.at[:, 0].set(tables.off_f32)
+    return jnp.concatenate([bounds, params], axis=1)
+
+
+def eb_decode_batch(stream_b: jax.Array, states_b: jax.Array,
+                    idx_b: jax.Array, esc_pos_b: jax.Array,
+                    esc_val_b: jax.Array, tables, lanes: int,
+                    n: int) -> jax.Array:
+    """Pallas decode of (B, S) factorized-prior streams -> (B, n) i32."""
+    B = idx_b.shape[0]
+    T, padded, _ = tr.plane_geometry(n, lanes)
+    Tp = -(-T // TC) * TC
+    row_tl = jax.vmap(lambda i: tr._to_tl(i.astype(jnp.int32), T, lanes, 0)
+                      )(idx_b)
+    if Tp != T:
+        row_tl = jnp.pad(row_tl, ((0, 0), (0, Tp - T), (0, 0)))
+
+    S = stream_b.shape[1]
+    R = -(-S // 128) + 2
+    sr = jnp.zeros((B, R * 128), jnp.uint32)
+    sr = sr.at[:, :S].set(stream_b.astype(jnp.uint32))
+    sr = sr.reshape(B, R, 128)
+
+    row_b, Bp = _pad_batch(row_tl)
+    sr_b, _ = _pad_batch(sr)
+    st_b, _ = _pad_batch(states_b.astype(jnp.uint32))
+    tab = _eb_tables(tables)
+    sym = _eb_decode_call(row_b, tab, sr_b, st_b, lanes, T)
+    sym_flat = sym[:B, :T].reshape(B, T * lanes)
+
+    def sub(sf, ep, ev):
+        return sf.at[ep].set(ev, mode="drop")
+
+    sym_flat = jax.vmap(sub)(sym_flat, esc_pos_b, esc_val_b)
+    return sym_flat[:, :n]
+
+
+_EB_PROBE_OK = None
+
+
+def probe_eb() -> bool:
+    """One-shot self-test for the EB kernel (see probe)."""
+    global _EB_PROBE_OK
+    if _EB_PROBE_OK is not None:
+        return _EB_PROBE_OK
+    try:
+        import types
+        n, lanes, C = TC * 32, 32, 8
+        rng = np.random.default_rng(0)
+        pmf = np.exp(-0.5 * ((np.arange(31) - 15) / 3.0) ** 2)
+        freqs = np.maximum(1, np.round(pmf / pmf.sum() * 65000)
+                           ).astype(np.int64)
+        freqs = np.concatenate([freqs, [65536 - freqs.sum()]])
+        bounds = np.concatenate([[0], np.cumsum(freqs)])
+        host = types.SimpleNamespace(
+            quantized_cdf=np.tile(bounds, (C, 1)).astype(np.int32),
+            cdf_length=np.full(C, bounds.size, np.int32),
+            offset=np.full(C, -15, np.int32))
+        tables = tr.build_device_tables(host)
+        idx = rng.integers(0, C, (1, n)).astype(np.int32)
+        sym = np.clip(rng.normal(0, 4, (1, n)).round(), -15, 14
+                      ).astype(np.int32)
+        enc = jax.vmap(lambda s, i: tr.rans_encode(s, i, tables, lanes)
+                       )(jnp.asarray(sym), jnp.asarray(idx))
+        f = tr.frame_plane(
+            np.asarray(enc["states"][0]), np.asarray(enc["stream"][0]),
+            int(enc["n_renorm"][0]), np.asarray(enc["esc_pos"][0]),
+            np.asarray(enc["esc_val"][0]), int(enc["n_esc"][0]))
+        _, states, stream, ep, ev = tr.unframe_plane(f, n)
+        dec = eb_decode_batch(
+            jnp.asarray(stream[None]), jnp.asarray(states[None]),
+            jnp.asarray(idx), jnp.asarray(ep[None]), jnp.asarray(ev[None]),
+            tables, lanes, n)
+        _EB_PROBE_OK = bool(np.array_equal(np.asarray(dec), sym))
+    except Exception as e:  # Mosaic compile/runtime failure -> XLA path
+        import warnings
+        warnings.warn(f"pallas EB rANS kernel probe failed ({e!r}); "
+                      "falling back to the XLA decode scan")
+        _EB_PROBE_OK = False
+    return _EB_PROBE_OK

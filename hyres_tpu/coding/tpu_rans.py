@@ -544,6 +544,26 @@ def rans_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
     return sym_flat[:n]
 
 
+def rans_decode_batch(stream_b: jax.Array, states_b: jax.Array,
+                      idx_b: jax.Array, esc_pos_b: jax.Array,
+                      esc_val_b: jax.Array, tables: TpuCoderTables,
+                      lanes: int, n: int) -> jax.Array:
+    """(B, ...) batched factorized-prior decode -> (B, n) i32. Same
+    lowering dispatch as gauss_decode_batch (GAUSS_IMPL; the EB kernel
+    has its own one-shot self-test, pallas_rans.probe_eb)."""
+    if GAUSS_IMPL in ("pallas", "auto"):
+        from . import pallas_rans
+        if pallas_rans.supported(lanes) and (
+                GAUSS_IMPL == "pallas" or pallas_rans.probe_eb()):
+            return pallas_rans.eb_decode_batch(
+                stream_b, states_b, idx_b, esc_pos_b, esc_val_b,
+                tables, lanes, n)
+    return jax.vmap(
+        lambda st, sa, ix, ep, ev: rans_decode(
+            st, sa, ix, ep, ev, tables, lanes, n)
+    )(stream_b, states_b, idx_b, esc_pos_b, esc_val_b)
+
+
 # ---------------------------------------------------------------------------
 # gaussian coder (segment-table + uniform low bits; y planes)
 # ---------------------------------------------------------------------------

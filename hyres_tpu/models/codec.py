@@ -669,10 +669,8 @@ class TpuPlaneCoder:
             n = int(np.prod(shape[1:]))
             idx = jnp.broadcast_to(
                 jnp.arange(C, dtype=jnp.int32), shape).reshape(B, -1)
-            sym = jax.vmap(
-                lambda st, sa, ix, ep, ev: tpu_rans.rans_decode(
-                    st, sa, ix, ep, ev, eb_dev, lanes, n)
-            )(stream, states, idx, esc_pos, esc_val)
+            sym = tpu_rans.rans_decode_batch(
+                stream, states, idx, esc_pos, esc_val, eb_dev, lanes, n)
             sym = jnp.clip(sym, -32000, 32000).astype(jnp.int16)
             return sym.reshape(shape)
 

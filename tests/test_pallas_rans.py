@@ -170,3 +170,74 @@ def test_auto_impl_probe(monkeypatch):
     dec = tr.gauss_decode_batch(stream_b, states_b, jnp.asarray(idx),
                                 esc_pos_b, esc_val_b, gt, lanes, n)
     np.testing.assert_array_equal(np.asarray(dec), sym)
+
+
+def _eb_tables(C=8):
+    import types
+    pmf = np.exp(-0.5 * ((np.arange(31) - 15) / 3.0) ** 2)
+    freqs = np.maximum(1, np.round(pmf / pmf.sum() * 65000)).astype(np.int64)
+    freqs = np.concatenate([freqs, [65536 - freqs.sum()]])
+    bounds = np.concatenate([[0], np.cumsum(freqs)])
+    host = types.SimpleNamespace(
+        quantized_cdf=np.tile(bounds, (C, 1)).astype(np.int32),
+        cdf_length=np.full(C, bounds.size, np.int32),
+        offset=np.full(C, -15, np.int32))
+    return tr.build_device_tables(host)
+
+
+@pytest.mark.parametrize("B,n,lanes", [(1, 6000, 32), (3, 20000, 64)])
+def test_eb_pallas_decodes_xla_stream(B, n, lanes):
+    """Factorized-prior planes: XLA encode -> EB kernel decode, exact,
+    escapes included (the EB escape is the row's last bin)."""
+    rng = np.random.default_rng(6)
+    tables = _eb_tables()
+    idx = rng.integers(0, 8, (B, n)).astype(np.int32)
+    sym = np.clip(rng.normal(0, 4, (B, n)).round(), -15, 14).astype(np.int32)
+    sym[0, :4] = [99, -99, 40, -40]     # out-of-support -> escapes
+
+    enc = jax.vmap(lambda s, i: tr.rans_encode(s, i, tables, lanes)
+                   )(jnp.asarray(sym), jnp.asarray(idx))
+    ups = [tr.unframe_plane(tr.frame_plane(
+        np.asarray(enc["states"][i]), np.asarray(enc["stream"][i]),
+        int(enc["n_renorm"][i]), np.asarray(enc["esc_pos"][i]),
+        np.asarray(enc["esc_val"][i]), int(enc["n_esc"][i])), n)
+        for i in range(B)]
+    smax = max(u[2].shape[0] for u in ups)
+    stream_b = np.zeros((B, smax), np.uint16)
+    for i, u in enumerate(ups):
+        stream_b[i, : u[2].shape[0]] = u[2]
+
+    dec = pr.eb_decode_batch(
+        jnp.asarray(stream_b), jnp.asarray(np.stack([u[1] for u in ups])),
+        jnp.asarray(idx), jnp.asarray(np.stack([u[3] for u in ups])),
+        jnp.asarray(np.stack([u[4] for u in ups])), tables, lanes, n)
+    np.testing.assert_array_equal(np.asarray(dec), sym)
+
+
+def test_eb_auto_dispatch(monkeypatch):
+    """rans_decode_batch auto-dispatch probes the EB kernel and matches
+    the XLA scan."""
+    monkeypatch.setattr(tr, "GAUSS_IMPL", "auto")
+    monkeypatch.setattr(pr, "_EB_PROBE_OK", None)
+    assert pr.probe_eb() is True
+    rng = np.random.default_rng(7)
+    B, n, lanes = 2, 12288, 32
+    tables = _eb_tables()
+    idx = rng.integers(0, 8, (B, n)).astype(np.int32)
+    sym = np.clip(rng.normal(0, 4, (B, n)).round(), -15, 14).astype(np.int32)
+    enc = jax.vmap(lambda s, i: tr.rans_encode(s, i, tables, lanes)
+                   )(jnp.asarray(sym), jnp.asarray(idx))
+    ups = [tr.unframe_plane(tr.frame_plane(
+        np.asarray(enc["states"][i]), np.asarray(enc["stream"][i]),
+        int(enc["n_renorm"][i]), np.asarray(enc["esc_pos"][i]),
+        np.asarray(enc["esc_val"][i]), int(enc["n_esc"][i])), n)
+        for i in range(B)]
+    smax = max(u[2].shape[0] for u in ups)
+    stream_b = np.zeros((B, smax), np.uint16)
+    for i, u in enumerate(ups):
+        stream_b[i, : u[2].shape[0]] = u[2]
+    dec = tr.rans_decode_batch(
+        jnp.asarray(stream_b), jnp.asarray(np.stack([u[1] for u in ups])),
+        jnp.asarray(idx), jnp.asarray(np.stack([u[3] for u in ups])),
+        jnp.asarray(np.stack([u[4] for u in ups])), tables, lanes, n)
+    np.testing.assert_array_equal(np.asarray(dec), sym)
