@@ -553,3 +553,314 @@ def probe_eb() -> bool:
                       "falling back to the XLA decode scan")
         _EB_PROBE_OK = False
     return _EB_PROBE_OK
+
+
+# ---------------------------------------------------------------------------
+# encode kernel (reverse scan + in-kernel backward stream compaction)
+# ---------------------------------------------------------------------------
+#
+# The XLA encode path is: reverse lax.scan (pays the ~11 us/step loop
+# overhead) + a whole-plane masked compaction of the (T, 2, lanes) emit
+# buffer (jnp.nonzero: the profiled 4x 5.15 ms/image encode floor;
+# masked_compact: dense but still a 20-level merge tree). This kernel
+# does both AT ONCE: it scans time in reverse and writes each step's
+# renorm words DIRECTLY into their final stream positions, backwards
+# from the end of the buffer (the stream is read forward by the
+# decoder, so reverse-scan emissions fill it back-to-front in exactly
+# decode-read order). No post-scan compaction exists at all.
+#
+# Per sub-step (low push, then high push — the decoder pops high first):
+# masked emit words are scattered to the front in lane order (exact
+# one-hot sum over a (lanes, lanes) rank match), rotated to the write
+# offset across a 2x128-row window (funnel shifts), and accumulated
+# into the resident output rows — safe because positions >= wp were
+# written by LATER stream positions only and positions < wp-count are
+# still zero.
+#
+# One kernel serves BOTH coder families: the factorized-prior (EB) path
+# is the gaussian path with k = 0 (the low push degenerates to an exact
+# identity that never emits).
+
+
+def _scatter_front(x: jax.Array, rank_f: jax.Array, need_f: jax.Array,
+                   lanes: int) -> jax.Array:
+    """out[g, p] = x[g, j] where j is the p-th masked lane (exact:
+    one contributor per position, one-hot sum)."""
+    pos = jax.lax.broadcasted_iota(jnp.float32, (1, 1, lanes), 2)
+    oh = ((rank_f[:, :, None] == pos) * need_f[:, :, None])
+    return jnp.sum(oh * x[:, :, None], axis=1)       # (G, lanes)
+
+
+def _rot_right_2rows(x: jax.Array, off_col: jax.Array) -> jax.Array:
+    """(G, 128) front-aligned words -> (G, 2, 128) window with the words
+    moved to positions [off, off+count) of the flattened 256 window
+    (zero fill elsewhere). off in [0, 128)."""
+    G = x.shape[0]
+    a = x
+    b = jnp.zeros_like(x)
+    # rotate [a|b] RIGHT by off == rotate LEFT by 256-off; do 7 funnel
+    # rounds shifting right instead (zero fill is fine: the words only
+    # move right, into row b)
+    k = 0
+    while (1 << k) < 128:
+        s = 1 << k
+        a_s = jnp.concatenate([jnp.zeros_like(a[:, :s]), a[:, :-s]], axis=1)
+        b_s = jnp.concatenate([a[:, -s:], b[:, :-s]], axis=1)
+        bit = ((off_col >> k) & 1) > 0
+        a = jnp.where(bit, a_s, a)
+        b = jnp.where(bit, b_s, b)
+        k += 1
+    return jnp.stack([a, b], axis=1)                 # (G, 2, 128)
+
+
+def _encode_kernel(start_ref, freq_ref, rcp_ref, low_ref, ks_ref,
+                   stream_ref, states_ref, wp_ref,
+                   st_scr, wp_scr, *, G: int, lanes: int, T: int,
+                   cap: int, NC: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        st_scr[...] = jnp.full((G, lanes), tr.RENORM_BASE, jnp.uint32)
+        for i in range(G):
+            wp_scr[i] = cap
+        stream_ref[...] = jnp.zeros(stream_ref.shape, jnp.uint32)
+
+    c = NC - 1 - k                       # time chunk, processed newest-first
+    length = jnp.minimum(TC, T - c * TC)
+
+    def write_words(emit, need, wp_list):
+        """Place this sub-step's masked emit words at [wp-count, wp) of
+        each image's stream (backwards fill; see module comment)."""
+        need_f = need.astype(jnp.float32)
+        rank_f, incl = _ladder_prefix(need_f, lanes)
+        front = _scatter_front(emit.astype(jnp.float32), rank_f, need_f,
+                               lanes)                 # (G, lanes) f32
+        if lanes < 128:
+            front = jnp.concatenate(
+                [front, jnp.zeros((G, 128 - lanes), front.dtype)], axis=1)
+        new_wps = []
+        for i in range(G):
+            cnt = incl[i, lanes - 1].astype(jnp.int32)
+            w0 = wp_list[i] - cnt
+            row0 = jnp.maximum(w0 >> 7, 0)   # clamp: overflow -> garbage
+            off = (w0 & 0x7F).reshape(1, 1)  # stream, caught at framing
+            placed = _rot_right_2rows(front[i:i + 1], off)  # (1, 2, 128)
+            cur = stream_ref[i, pl.ds(row0, 2), :]
+            stream_ref[i, pl.ds(row0, 2), :] = (
+                cur.reshape(2, 128)
+                + placed.reshape(2, 128).astype(jnp.uint32))
+            new_wps.append(w0)
+        return new_wps
+
+    def body(it, _):
+        t = length - 1 - it
+        start = start_ref[:, pl.ds(t, 1), :].reshape(G, lanes)
+        freq = freq_ref[:, pl.ds(t, 1), :].reshape(G, lanes)
+        rcp = rcp_ref[:, pl.ds(t, 1), :].reshape(G, lanes)
+        low = low_ref[:, pl.ds(t, 1), :].reshape(G, lanes)
+        ks = ks_ref[:, pl.ds(t, 1), :].reshape(G, lanes)
+
+        state = st_scr[...]
+        wps = [wp_scr[i] for i in range(G)]
+        # push LOW first (decoder pops high then low; backward writing
+        # emits low's words first = the later stream positions)
+        freq_l = jnp.uint32(1) << ks
+        emit_l = (state & 0xFFFF).astype(jnp.uint32)
+        need_l = (state >> 16) >= freq_l
+        state = jnp.where(need_l, state >> 16, state)
+        state = ((state >> ks) << 16) + (low << ks) + (state & (freq_l - 1))
+        wps = write_words(emit_l, need_l, wps)
+        # push HIGH (exact limb division)
+        emit_h = (state & 0xFFFF).astype(jnp.uint32)
+        need_h = (state >> 16) >= freq
+        state = jnp.where(need_h, state >> 16, state)
+        q, r = tr._div_u32_by_u16(state, freq, rcp)
+        state = (q << 16) + r + start
+        wps = write_words(emit_h, need_h, wps)
+
+        st_scr[...] = state
+        for i in range(G):
+            wp_scr[i] = wps[i]
+        return 0
+
+    jax.lax.fori_loop(0, length, body, 0)
+
+    @pl.when(k == NC - 1)
+    def _():
+        states_ref[...] = st_scr[...]
+        wp_col = jnp.stack([wp_scr[i] for i in range(G)]).reshape(G, 1)
+        wp_ref[...] = jnp.broadcast_to(wp_col, wp_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _encode_call(start, freq, rcp, low, ks, lanes: int, cap: int,
+                 T: int):
+    """All inputs (Bp, Tp, lanes), real scan length T <= Tp (the padded
+    time rows are never processed); returns (stream_rows (Bp, Rbuf, 128)
+    u32 back-filled from flat position wp, states (Bp, lanes) u32,
+    wp (Bp,) i32)."""
+    Bp, Tp = start.shape[0], start.shape[1]
+    G = min(Bp, MAX_G)
+    assert Bp % G == 0 and Tp % TC == 0 and T <= Tp
+    NC = Tp // TC
+    Rbuf = -(-cap // 128) + 1
+
+    kern = functools.partial(_encode_kernel, G=G, lanes=lanes, T=T,
+                             cap=cap, NC=NC)
+    grid = (Bp // G, NC)
+    xspec = pl.BlockSpec((G, TC, lanes), lambda g, k: (g, NC - 1 - k, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[xspec] * 5,
+        out_specs=[
+            pl.BlockSpec((G, Rbuf, 128), lambda g, k: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, lanes), lambda g, k: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 128), lambda g, k: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, Rbuf, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((Bp, lanes), jnp.uint32),
+            jax.ShapeDtypeStruct((Bp, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G, lanes), jnp.uint32),
+            pltpu.SMEM((G,), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(start, freq, rcp, low, ks)
+    return out[0], out[1], out[2][:, 0]
+
+
+def _finish_encode(stream_rows, states, wp, esc_flat_b, sym_flat_b,
+                   cap: int, padded: int):
+    """Kernel outputs -> the XLA encode dict contract (stream aligned to
+    offset 0, zero-filled past n_renorm; escapes via the COMPACT_MODE
+    path — they are scan-independent bulk work)."""
+    B = stream_rows.shape[0]
+    n_renorm = (cap - wp).astype(jnp.int32)
+    flat = stream_rows.reshape(B, -1)
+    flat = jnp.concatenate(
+        [flat, jnp.zeros((B, cap), jnp.uint32)], axis=1)
+    stream = jax.vmap(lambda f, w: jax.lax.dynamic_slice(
+        f, (w,), (cap,)))(flat, jnp.maximum(wp, 0))
+    iota = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    stream = jnp.where(iota < n_renorm[:, None], stream, 0
+                       ).astype(jnp.uint16)
+
+    def esc_of(esc_flat, sym_flat):
+        if tr.COMPACT_MODE == "merge":
+            iota_p = jnp.arange(padded, dtype=jnp.int32)
+            esc_pos, n_esc = tr.masked_compact(
+                iota_p, esc_flat, tr.ESC_MAX, fill=padded)
+            esc_val, _ = tr.masked_compact(sym_flat, esc_flat, tr.ESC_MAX)
+        else:
+            (esc_pos,) = jnp.nonzero(esc_flat, size=tr.ESC_MAX,
+                                     fill_value=padded)
+            esc_val = jnp.take(sym_flat, esc_pos, mode="clip")
+            n_esc = jnp.sum(esc_flat).astype(jnp.int32)
+        return esc_pos.astype(jnp.int32), esc_val, n_esc
+
+    esc_pos, esc_val, n_esc = jax.vmap(esc_of)(esc_flat_b, sym_flat_b)
+    return {"states": states, "stream": stream, "n_renorm": n_renorm,
+            "esc_pos": esc_pos, "esc_val": esc_val, "n_esc": n_esc}
+
+
+def _pad_time(x, Tp):
+    T = x.shape[1]
+    if Tp == T:
+        return x
+    return jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+
+
+def gauss_encode_batch(sym_b: jax.Array, idx_b: jax.Array, gt,
+                       lanes: int):
+    """Kernel-backed batched gaussian encode; bit-identical output dict
+    to the XLA path (same bulk splits, same wire)."""
+    B, n = sym_b.shape
+    T, padded, _ = tr.plane_geometry(n, lanes)
+    Tp = -(-T // TC) * TC
+    cap = tr.stream_cap(n, lanes, words=2)
+    sym_tl = jax.vmap(
+        lambda s: tr._to_tl(s.astype(jnp.int32), T, lanes, 0))(sym_b)
+    idx_tl = jax.vmap(
+        lambda i: tr._to_tl(i.astype(jnp.int32), T, lanes, 0))(idx_b)
+    start, freq, low, ks, esc = jax.vmap(
+        lambda s, i: tr._gauss_split(s.reshape(-1), i.reshape(-1), gt)
+    )(sym_tl, idx_tl)
+    rcp = 1.0 / freq
+    args = [a.reshape(B, T, lanes) for a in (
+        start.astype(jnp.uint32), freq.astype(jnp.uint32), rcp,
+        low.astype(jnp.uint32), ks.astype(jnp.uint32))]
+    args = [_pad_time(a, Tp) for a in args]
+    args, Bp = zip(*[_pad_batch(a) for a in args])
+    stream_rows, states, wp = _encode_call(*args, lanes, cap, T)
+    return _finish_encode(stream_rows[:B], states[:B], wp[:B],
+                          esc, sym_tl.reshape(B, -1), cap, padded)
+
+
+def eb_encode_batch(sym_b: jax.Array, idx_b: jax.Array, tables,
+                    lanes: int):
+    """Kernel-backed batched factorized-prior encode; bit-identical
+    output dict to the vmapped tr.rans_encode (the low push degenerates
+    to the exact identity at k = 0: ks = 16, low = 0)."""
+    B, n = sym_b.shape
+    T, padded, _ = tr.plane_geometry(n, lanes)
+    Tp = -(-T // TC) * TC
+    cap = tr.stream_cap(n, lanes)
+    sym_tl = jax.vmap(lambda s: tr._to_tl(
+        s.astype(jnp.int32), T, lanes, tables.pad_symbol))(sym_b)
+    idx_tl = jax.vmap(
+        lambda i: tr._to_tl(i.astype(jnp.int32), T, lanes, 0))(idx_b)
+    start, freq, esc = jax.vmap(
+        lambda s, i: tr._eb_split(s.reshape(-1), i.reshape(-1), tables)
+    )(sym_tl, idx_tl)
+    rcp = 1.0 / freq
+    zero = jnp.zeros((B, T, lanes), jnp.uint32)
+    args = [a.reshape(B, T, lanes) for a in (
+        start.astype(jnp.uint32), freq.astype(jnp.uint32), rcp)]
+    args += [zero, jnp.full((B, T, lanes), 16, jnp.uint32)]
+    args = [_pad_time(a, Tp) for a in args]
+    args, _ = zip(*[_pad_batch(a) for a in args])
+    stream_rows, states, wp = _encode_call(*args, lanes, cap, T)
+    return _finish_encode(stream_rows[:B], states[:B], wp[:B],
+                          esc, sym_tl.reshape(B, -1), cap, padded)
+
+
+_ENC_PROBE_OK = None
+
+
+def probe_enc() -> bool:
+    """One-shot self-test for the encode kernel: the full output dict
+    must match the XLA scan bit-for-bit on a tiny plane."""
+    global _ENC_PROBE_OK
+    if _ENC_PROBE_OK is not None:
+        return _ENC_PROBE_OK
+    try:
+        n, lanes = TC * 128 + 1000, 128   # partial last chunk on purpose
+        rng = np.random.default_rng(0)
+        st = np.exp(np.linspace(np.log(0.11), np.log(256.0), 64))
+        gt = tr.build_gauss_tables(st)
+        idx = rng.integers(0, 64, (2, n)).astype(np.int32)
+        sym = np.clip(np.round(rng.normal(0, st[idx])), -30000, 30000
+                      ).astype(np.int32)
+        sym[0, :2] = [31000, -31000]
+        ref = jax.vmap(lambda s, i: tr.gauss_encode(s, i, gt, lanes)
+                       )(jnp.asarray(sym), jnp.asarray(idx))
+        out = gauss_encode_batch(jnp.asarray(sym), jnp.asarray(idx),
+                                 gt, lanes)
+        _ENC_PROBE_OK = all(
+            np.array_equal(np.asarray(ref[k]), np.asarray(out[k]))
+            for k in ("states", "stream", "n_renorm", "esc_pos",
+                      "esc_val", "n_esc"))
+    except Exception as e:  # Mosaic compile/runtime failure -> XLA path
+        import warnings
+        warnings.warn(f"pallas rANS encode kernel probe failed ({e!r}); "
+                      "falling back to the XLA encode scan")
+        _ENC_PROBE_OK = False
+    return _ENC_PROBE_OK

@@ -457,9 +457,6 @@ def rans_encode(symbols: jax.Array, indexes: jax.Array,
     sym_tl = _to_tl(symbols.astype(jnp.int32), T, lanes, tables.pad_symbol)
     idx_tl = _to_tl(indexes.astype(jnp.int32), T, lanes, 0)
 
-    max_len = tables.cdf.shape[1]
-    rows = tables.cdf.shape[0]
-
     # ALL table lookups hoisted out of the serial chain: the CDF entry of
     # every symbol is known before the scan (it depends only on symbol and
     # row, never on the rANS state) — the scan body is pure arithmetic.
@@ -472,20 +469,32 @@ def rans_encode(symbols: jax.Array, indexes: jax.Array,
     #
     # NOTE: for per-channel (factorized-prior) tables max_len is small and
     # this is cheap. For the 64x3133 gaussian tables the (n, max_len)
-    # intermediates below are why gaussian planes use the table-free
-    # analytic coder (gauss_encode/gauss_decode) instead.
-    A = _row_onehot(idx_tl.reshape(-1), rows)            # (n', rows)
-    off = _lookup(A, tables.off_f32).reshape(T, lanes)
-    maxv = _lookup(A, tables.maxv_f32).reshape(T, lanes)
-    v = sym_tl.astype(jnp.float32) - off
-    esc_tl = (v < 0) | (v >= maxv)
-    vv = jnp.where(esc_tl, maxv, v)                      # f32 bin index
-    binoh = (vv.reshape(-1, 1) ==
+    # intermediates would be why gaussian planes use the segment-table
+    # coder (gauss_encode/gauss_decode) instead.
+    start, freq_f, esc = _eb_split(sym_tl.reshape(-1), idx_tl.reshape(-1),
+                                   tables)
+    return _encode_scan_core(sym_tl, start.astype(jnp.uint32).reshape(T, lanes),
+                             freq_f.reshape(T, lanes),
+                             esc.reshape(T, lanes), lanes, n)
+
+
+def _eb_split(sym_flat: jax.Array, idx_flat: jax.Array,
+              tables: TpuCoderTables):
+    """Per-symbol (start, freq, esc) for the factorized-prior coder —
+    bulk, exact (one-hot matmul lookups over the small row tables)."""
+    rows = tables.cdf.shape[0]
+    max_len = tables.cdf.shape[1]
+    A = _row_onehot(idx_flat, rows)                      # (n', rows)
+    off = _lookup(A, tables.off_f32)
+    maxv = _lookup(A, tables.maxv_f32)
+    v = sym_flat.astype(jnp.float32) - off
+    esc = (v < 0) | (v >= maxv)
+    vv = jnp.where(esc, maxv, v)                         # f32 bin index
+    binoh = (vv[:, None] ==
              jnp.arange(max_len, dtype=jnp.float32)).astype(jnp.float32)
-    start = jnp.sum(_lookup(A, tables.start_f32) * binoh, -1).reshape(T, lanes)
-    freq_f = jnp.sum(_lookup(A, tables.freq_f32) * binoh, -1).reshape(T, lanes)
-    return _encode_scan_core(sym_tl, start.astype(jnp.uint32), freq_f,
-                             esc_tl, lanes, n)
+    start = jnp.sum(_lookup(A, tables.start_f32) * binoh, -1)
+    freq_f = jnp.sum(_lookup(A, tables.freq_f32) * binoh, -1)
+    return start, freq_f, esc
 
 
 # ---------------------------------------------------------------------------
@@ -854,9 +863,30 @@ def gauss_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
 def gauss_encode_batch(sym_b: jax.Array, idx_b: jax.Array,
                        gt: GaussTables, lanes: int):
     """(B, n) batched gaussian encode; per-image output dict stacked on
-    axis 0. Encode is bulk matmuls + the cheap scan — plain vmapped XLA
-    for every GAUSS_IMPL (the Pallas kernel only accelerates decode)."""
+    axis 0. GAUSS_IMPL dispatch: the Pallas encode kernel runs the
+    reverse scan AND the stream compaction in one kernel (backward
+    fill); "auto" takes it only after its one-shot bit-equality
+    self-test vs the XLA path (pallas_rans.probe_enc)."""
+    if GAUSS_IMPL in ("pallas", "auto"):
+        from . import pallas_rans
+        if pallas_rans.supported(lanes) and (
+                GAUSS_IMPL == "pallas" or pallas_rans.probe_enc()):
+            return pallas_rans.gauss_encode_batch(sym_b, idx_b, gt, lanes)
     return jax.vmap(lambda s, i: gauss_encode(s, i, gt, lanes)
+                    )(sym_b, idx_b)
+
+
+def rans_encode_batch(sym_b: jax.Array, idx_b: jax.Array,
+                      tables: TpuCoderTables, lanes: int):
+    """(B, n) batched factorized-prior encode; same dispatch as
+    gauss_encode_batch (the shared encode kernel's low push degenerates
+    to an exact identity for this path)."""
+    if GAUSS_IMPL in ("pallas", "auto"):
+        from . import pallas_rans
+        if pallas_rans.supported(lanes) and (
+                GAUSS_IMPL == "pallas" or pallas_rans.probe_enc()):
+            return pallas_rans.eb_encode_batch(sym_b, idx_b, tables, lanes)
+    return jax.vmap(lambda s, i: rans_encode(s, i, tables, lanes)
                     )(sym_b, idx_b)
 
 

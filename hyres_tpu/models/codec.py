@@ -620,10 +620,9 @@ class TpuPlaneCoder:
             B = sym.shape[0]
             n = int(np.prod(sym.shape[1:]))
             lanes = tpu_rans.lanes_for(n)
-            return jax.vmap(
-                lambda s, i: tpu_rans.rans_encode(s, i, eb_dev, lanes)
-            )(sym.astype(jnp.int32).reshape(B, -1),
-              idx.astype(jnp.int32).reshape(B, -1))
+            return tpu_rans.rans_encode_batch(
+                sym.astype(jnp.int32).reshape(B, -1),
+                idx.astype(jnp.int32).reshape(B, -1), eb_dev, lanes)
 
         def _enc_gauss(sym, idx):
             B = sym.shape[0]

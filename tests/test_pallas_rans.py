@@ -241,3 +241,51 @@ def test_eb_auto_dispatch(monkeypatch):
         jnp.asarray(idx), jnp.asarray(np.stack([u[3] for u in ups])),
         jnp.asarray(np.stack([u[4] for u in ups])), tables, lanes, n)
     np.testing.assert_array_equal(np.asarray(dec), sym)
+
+
+@pytest.mark.parametrize("B,n,wide,lanes", [
+    (2, 20000, True, 128), (3, 9000, False, 64)])
+def test_pallas_encode_matches_xla(B, n, wide, lanes, monkeypatch):
+    """The encode kernel (reverse scan + in-kernel backward compaction)
+    reproduces the XLA encode dict BIT-FOR-BIT — stream bytes, states,
+    counts, and escapes — across lane tiers and partial last chunks."""
+    rng = np.random.default_rng(8)
+    gt = tr.build_gauss_tables(_scale_table())
+    pairs = [_plane(rng, n, wide) for _ in range(B)]
+    sym = np.stack([p[0] for p in pairs])
+    idx = np.stack([p[1] for p in pairs])
+    sym[0, :3] = [31000, -31000, 29000]
+    idx[0, :3] = 5
+
+    ref = jax.vmap(lambda s, i: tr.gauss_encode(s, i, gt, lanes)
+                   )(jnp.asarray(sym), jnp.asarray(idx))
+    out = pr.gauss_encode_batch(jnp.asarray(sym), jnp.asarray(idx),
+                                gt, lanes)
+    for k in ("states", "stream", "n_renorm", "esc_pos", "esc_val",
+              "n_esc"):
+        np.testing.assert_array_equal(
+            np.asarray(ref[k]), np.asarray(out[k]), err_msg=k)
+
+
+def test_eb_encode_kernel_matches_xla():
+    """The shared encode kernel with k=0 (identity low push) reproduces
+    the vmapped rans_encode output exactly, escapes included."""
+    rng = np.random.default_rng(9)
+    B, n, lanes = 2, 12288, 32
+    tables = _eb_tables()
+    idx = rng.integers(0, 8, (B, n)).astype(np.int32)
+    sym = np.clip(rng.normal(0, 4, (B, n)).round(), -15, 14).astype(np.int32)
+    sym[0, :4] = [99, -99, 40, -40]
+    ref = jax.vmap(lambda s, i: tr.rans_encode(s, i, tables, lanes)
+                   )(jnp.asarray(sym), jnp.asarray(idx))
+    out = pr.eb_encode_batch(jnp.asarray(sym), jnp.asarray(idx),
+                             tables, lanes)
+    for k in ("states", "stream", "n_renorm", "esc_pos", "esc_val",
+              "n_esc"):
+        np.testing.assert_array_equal(
+            np.asarray(ref[k]), np.asarray(out[k]), err_msg=k)
+
+
+def test_encode_probe(monkeypatch):
+    monkeypatch.setattr(pr, "_ENC_PROBE_OK", None)
+    assert pr.probe_enc() is True
