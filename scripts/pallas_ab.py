@@ -80,9 +80,25 @@ def main():
     for B in (1, 8):
         for wide in (False, True):
             sym, idx = _planes(rng, B, args.n, wide)
-            enc = jax.jit(
-                lambda s, i: tr.gauss_encode_batch(s, i, gt, lanes)
-            )(jnp.asarray(sym), jnp.asarray(idx))
+
+            # --- encode A/B: XLA (scan + compaction) vs kernel --------
+            enc_x_j = jax.jit(lambda s, i: jax.vmap(
+                lambda s2, i2: tr.gauss_encode(s2, i2, gt, lanes)
+            )(s, i))
+            enc_p_j = jax.jit(lambda s, i: pr.gauss_encode_batch(
+                s, i, gt, lanes))
+            te_x, enc = _time(enc_x_j, jnp.asarray(sym),
+                              jnp.asarray(idx), reps=args.reps)
+            te_p, enc_p = _time(enc_p_j, jnp.asarray(sym),
+                                jnp.asarray(idx), reps=args.reps)
+            enc_same = all(np.array_equal(np.asarray(enc[k]),
+                                          np.asarray(enc_p[k]))
+                           for k in ("states", "stream", "n_renorm",
+                                     "esc_pos", "esc_val", "n_esc"))
+            print(f"B={B} wide={int(wide)} ENC: "
+                  f"xla {1e3 * te_x:8.2f} ms  "
+                  f"pallas {1e3 * te_p:8.2f} ms  "
+                  f"bit-identical={enc_same}", flush=True)
             stream_b, states_b, ep_b, ev_b = _unframe(enc, B, args.n)
             idx_j = jnp.asarray(idx)
 
