@@ -98,7 +98,7 @@ def test_batch_dispatch_flag(monkeypatch):
     """gauss_decode_batch dispatches on GAUSS_IMPL and falls back to XLA
     for unsupported lane counts."""
     rng = np.random.default_rng(3)
-    lanes, n, B = 32, 2000, 2   # 32 lanes: pallas unsupported -> XLA
+    lanes, n, B = 256, 4000, 2  # 256 lanes: pallas unsupported -> XLA
     gt = tr.build_gauss_tables(_scale_table())
     pairs = [_plane(rng, n) for _ in range(B)]
     sym = np.stack([p[0] for p in pairs])
