@@ -93,10 +93,25 @@ def main():
     # warm-up: compile every stage for each distinct image shape
     # (Kodak mixes 768x512 and 512x768), then one pass over ALL images
     # so the speculative encode pull's per-codec high-water marks cover
-    # the timed set (steady-state serving: one sync, near-actual bytes)
-    for shape in {im.shape for im in imgs}:
-        warm = next(im for im in imgs if im.shape == shape)
-        jax.block_until_ready(codec.inference(warm)["x_hat"])
+    # the timed set (steady-state serving: one sync, near-actual bytes).
+    # Insurance for the recorded headline: the default lowerings are the
+    # self-test-gated Pallas kernels; if a production-shape compile
+    # still fails on this backend, drop to the XLA lowerings and rebuild
+    # rather than losing the bench.
+    try:
+        for shape in {im.shape for im in imgs}:
+            warm = next(im for im in imgs if im.shape == shape)
+            jax.block_until_ready(codec.inference(warm)["x_hat"])
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: kernel-path warm-up failed ({e!r}); "
+              "falling back to GAUSS_IMPL=xla", file=sys.stderr)
+        from hyres_tpu.coding import tpu_rans as _tr
+        _tr.GAUSS_IMPL = "xla"
+        codec = HyresCodec(model, params, coder="tpu")
+        codec.update(force=True)
+        for shape in {im.shape for im in imgs}:
+            warm = next(im for im in imgs if im.shape == shape)
+            jax.block_until_ready(codec.inference(warm)["x_hat"])
     for im in imgs:
         jax.block_until_ready(codec.inference(im)["x_hat"])
 
