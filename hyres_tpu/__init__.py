@@ -27,3 +27,18 @@ Layout (NHWC everywhere; images are float32 in [0, 1]):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("HYRES_PLATFORM"):
+    # Serving hosts without a TPU (and CI) need a way to force the JAX
+    # backend. The plain JAX_PLATFORMS env var is not enough on images
+    # whose TPU plugin registers itself with an explicit
+    # jax.config.update("jax_platforms", ...) at interpreter start
+    # (config beats env, so e.g. a downed TPU tunnel hangs every CLI);
+    # this override is applied after those and therefore wins. It must
+    # run before the first backend initialization, i.e. before any
+    # hyres_tpu submodule touches jax.devices().
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["HYRES_PLATFORM"])
