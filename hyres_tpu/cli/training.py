@@ -85,6 +85,18 @@ def parse_args(argv=None):
     p.add_argument("--save-every", type=int, default=1,
                    help="checkpoint every N epochs (device->host transfer "
                         "of the full state is expensive over the TPU tunnel)")
+    p.add_argument("--eval-every", type=int, default=1,
+                   help="run the held-out eval every N epochs. With a "
+                        "small dataset an 'epoch' is a handful of steps "
+                        "and the reference's eval-every-epoch cadence "
+                        "(training.py:229) spends most wall time "
+                        "evaluating; N>1 shifts it back to training. "
+                        "Checkpoints/plateau-LR only happen on eval epochs "
+                        "(they need the eval loss), so make --save-every "
+                        "a multiple of this")
+    p.add_argument("--augment", action="store_true",
+                   help="dihedral (flip/rotate) crop augmentation; not in "
+                        "the reference recipe, useful on small datasets")
     return p.parse_args(argv)
 
 
@@ -106,7 +118,8 @@ def main(argv=None):
     save_dir = Path(args.savepath)
     save_dir.mkdir(parents=True, exist_ok=True)
 
-    train_set = ImageFolder(args.dataset, "train", tuple(args.patch_size), train=True)
+    train_set = ImageFolder(args.dataset, "train", tuple(args.patch_size),
+                            train=True, augment=args.augment)
     test_set = ImageFolder(args.dataset, "test", None, train=False)
     train_loader = DataLoader(train_set, args.batch_size, seed=args.seed,
                               num_workers=args.num_workers)
@@ -229,12 +242,16 @@ def main(argv=None):
                       f"lr={get_main_lr(state.main_state):.2e} "
                       f"noise={noisequant}", flush=True)
 
-        eval_metrics = run_eval(eval_fn, state.params, test_batches)
-        loss = eval_metrics["loss"]
         run_loss = float(run_loss); run_mse = float(run_mse); run_bpp = float(run_bpp)
         logger.log("Train", {"loss": run_loss / max(n_steps, 1),
                              "mse": run_mse / max(n_steps, 1),
                              "bpp": run_bpp / max(n_steps, 1)}, epoch)
+        if epoch % args.eval_every and epoch != args.epochs - 1:
+            print(f"epoch {epoch}: train_loss={run_loss/max(n_steps,1):.4f} "
+                  f"({time.time()-t0:.1f}s)", flush=True)
+            continue
+        eval_metrics = run_eval(eval_fn, state.params, test_batches)
+        loss = eval_metrics["loss"]
         logger.log("Test", eval_metrics, epoch)
         print(f"epoch {epoch}: train_loss={run_loss/max(n_steps,1):.4f} "
               f"test_loss={loss:.4f} test_psnr={eval_metrics['psnr']:.2f} "

@@ -29,7 +29,7 @@ _EXTS = {".png", ".jpg", ".jpeg", ".bmp"}
 class ImageFolder:
     def __init__(self, root: str, split: str = "train",
                  patch_size: Optional[Tuple[int, int]] = (256, 256),
-                 train: bool = True):
+                 train: bool = True, augment: bool = False):
         base = Path(root) / split
         if not base.is_dir():
             raise RuntimeError(f"missing dataset split directory: {base}")
@@ -39,6 +39,11 @@ class ImageFolder:
             raise RuntimeError(f"no images found in {base}")
         self.patch_size = patch_size
         self.train = train
+        # dihedral-group augmentation (flips + transpose: 8 variants per
+        # crop). NOT in the reference's pipeline (dataset_utils.py uses
+        # RandomCrop only) — off by default for recipe parity; it matters
+        # on small training sets where crops repeat across epochs.
+        self.augment = augment and train
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -60,7 +65,21 @@ class ImageFolder:
             else:
                 x0, y0 = (w - pw) // 2, (h - ph) // 2
             img = img.crop((x0, y0, x0 + pw, y0 + ph))
-        return np.asarray(img, np.float32) / 255.0
+        arr = np.asarray(img, np.float32) / 255.0
+        if self.augment:
+            if arr.shape[0] == arr.shape[1]:
+                k = int(rng.integers(8))  # D4 element: 4 rotations x flip
+                if k & 4:
+                    arr = arr[:, ::-1]
+                arr = np.rot90(arr, k & 3)
+            else:  # non-square crops: rotations change shape; flips only
+                k = int(rng.integers(4))
+                if k & 1:
+                    arr = arr[:, ::-1]
+                if k & 2:
+                    arr = arr[::-1]
+            arr = np.ascontiguousarray(arr)
+        return arr
 
 
 class DataLoader:

@@ -27,4 +27,6 @@ else
 fi
 
 bash run_matched_eval.sh || echo "!!! matched eval failed ($(date))"
+
+bash run_longtrain.sh || echo "!!! longtrain chain failed ($(date))"
 echo "=== all done ($(date))"
