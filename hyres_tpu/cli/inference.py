@@ -43,6 +43,13 @@ def parse_args(argv=None):
                         "loading a raw training checkpoint (the refit makes "
                         "the baked CDF support exact regardless of how far "
                         "the aux optimizer converged)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="compress/decompress N same-shape images per call "
+                        "(amortizes the per-call device syncs; the batched "
+                        "serving mode bench.py measures). Per-image rate/"
+                        "quality columns stay exact — frames are per-image "
+                        "under both coders; enc/dec_time become per-image "
+                        "amortized wall times")
     p.add_argument("--cold-timings", action="store_true",
                    help="skip the per-shape warm-up roundtrip, so the first "
                         "image of each shape reports jit-compile time in "
@@ -96,6 +103,69 @@ def strings_nbytes(comp) -> dict:
     }
 
 
+def _nbytes_image(obj, i: int) -> int:
+    """Byte length attributable to image ``i`` of a batched compress()'s
+    strings nest. Every family keeps the per-image dimension as the
+    INNERMOST list of buffers (host coder: one framed bytes per image,
+    models/codec.py:_encode_planes; TPU coder: one frame per image,
+    models/codec.py:frames_from_enc), so a list whose elements are all
+    bytes-like is indexed and anything else is summed over."""
+    if isinstance(obj, (bytes, bytearray, memoryview)):
+        return len(obj)
+    if obj and all(isinstance(s, (bytes, bytearray, memoryview))
+                   for s in obj):
+        return len(obj[i])
+    return sum(_nbytes_image(s, i) for s in obj)
+
+
+def process_batch(codec, paths, outdir: Path):
+    """Batched roundtrip: one compress + one decompress call for N
+    same-shape images; per-image rate (exact, per-image frames) and
+    quality, amortized per-image wall times."""
+    from ..losses import ms_ssim
+    from ..train import load_image, save_image
+
+    x = jnp.asarray(np.concatenate([load_image(p) for p in paths]))
+    B, H, W = x.shape[0], x.shape[1], x.shape[2]
+    num_px = H * W
+
+    t0 = time.time()
+    comp = codec.compress(x)
+    enc_time = (time.time() - t0) / B
+    t0 = time.time()
+    dec = (codec.decompress(comp) if "jpeg_buffers" in comp
+           else codec.decompress(comp["strings"], comp["shape"],
+                                 comp.get("size")))
+    dec_time = (time.time() - t0) / B
+    x_hat = jnp.clip(dec["x_hat"], 0, 1)
+
+    rows = []
+    for i, path in enumerate(paths):
+        nb = {
+            "y": _nbytes_image(comp["strings"][0], i),
+            "z": _nbytes_image(comp["strings"][1], i),
+            "jpeg": (len(comp["jpeg_buffers"][i])
+                     if "jpeg_buffers" in comp else 0),
+        }
+        bpp = {k: v * 8 / num_px for k, v in nb.items()}
+        mse = float(jnp.mean((x[i] - x_hat[i]) ** 2))
+        name = Path(path).stem
+        save_image(np.asarray(x_hat[i]), outdir / f"{name}_recon.png")
+        rows.append({
+            "filename": Path(path).name,
+            "total_bpp": sum(bpp.values()),
+            "jpeg_bpp": bpp["jpeg"],
+            "y_bpp": bpp["y"],
+            "z_bpp": bpp["z"],
+            "mse": mse,
+            "psnr": -10 * np.log10(mse),
+            "ms_ssim": float(ms_ssim(x[i: i + 1], x_hat[i: i + 1])),
+            "enc_time": enc_time,
+            "dec_time": dec_time,
+        })
+    return rows
+
+
 def process_image(codec, path: str, outdir: Path, save_components: bool):
     from ..losses import ms_ssim
     from ..train import load_image, save_image
@@ -145,6 +215,68 @@ def process_image(codec, path: str, outdir: Path, save_components: bool):
     }
 
 
+def _write_csv(outdir: Path, rows):
+    keys = list(rows[0])
+    avg = {k: float(np.mean([r[k] for r in rows]))
+           for k in keys if k != "filename"}
+    print(f"AVG: bpp={avg['total_bpp']:.4f} psnr={avg['psnr']:.2f} "
+          f"ms-ssim={avg['ms_ssim']:.4f} enc={avg['enc_time']:.3f}s "
+          f"dec={avg['dec_time']:.3f}s")
+    with open(outdir / "metrics.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys)
+        w.writeheader()
+        w.writerows(rows)
+        w.writerow({**{"filename": "average"}, **avg})
+
+
+def _run_batched(args, codec, files, outdir: Path):
+    """--batch N mode: group same-shape files, roundtrip N per call."""
+    import contextlib
+
+    import jax
+    from PIL import Image
+
+    from ..train import load_image
+
+    if args.save_components:
+        print("--save-components is ignored in --batch mode")
+
+    groups = {}
+    for f in files:
+        groups.setdefault(Image.open(f).size, []).append(f)
+    batches = [fs[i: i + args.batch] for fs in groups.values()
+               for i in range(0, len(fs), args.batch)]
+
+    if not args.cold_timings:
+        # warm every batch once; twice for the first batch of each
+        # (shape, length) so the speculative sliced pull is compiled too
+        seen = set()
+        for b in batches:
+            x = jnp.asarray(np.concatenate([load_image(p) for p in b]))
+            key = (x.shape[1:3], len(b))
+            for _ in range(2 if key not in seen else 1):
+                comp = codec.compress(x)
+                dec = (codec.decompress(comp) if "jpeg_buffers" in comp
+                       else codec.decompress(comp["strings"], comp["shape"],
+                                             comp.get("size")))
+                jax.block_until_ready(dec["x_hat"])
+            seen.add(key)
+
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+    rows = []
+    with prof:
+        for b in batches:
+            rs = process_batch(codec, b, outdir)
+            rows.extend(rs)
+            for r in rs:
+                print(f"{r['filename']}: bpp={r['total_bpp']:.4f} "
+                      f"psnr={r['psnr']:.2f} ms-ssim={r['ms_ssim']:.4f} "
+                      f"enc={r['enc_time']:.3f}s dec={r['dec_time']:.3f}s "
+                      f"(batch of {len(b)}, per-image)", flush=True)
+    _write_csv(outdir, rows)
+
+
 def main(argv=None):
     args = parse_args(argv)
     from ..train import load_checkpoint
@@ -179,6 +311,10 @@ def main(argv=None):
     import contextlib
 
     import jax
+
+    if args.batch > 1:
+        _run_batched(args, codec, files, outdir)
+        return
 
     if not args.cold_timings:
         # warm-timing discipline: compile every stage per distinct input
@@ -218,17 +354,7 @@ def main(argv=None):
                   f"psnr={r['psnr']:.2f} ms-ssim={r['ms_ssim']:.4f} "
                   f"enc={r['enc_time']:.3f}s dec={r['dec_time']:.3f}s", flush=True)
 
-    keys = list(rows[0])
-    avg = {k: float(np.mean([r[k] for r in rows])) for k in keys if k != "filename"}
-    print(f"AVG: bpp={avg['total_bpp']:.4f} psnr={avg['psnr']:.2f} "
-          f"ms-ssim={avg['ms_ssim']:.4f} enc={avg['enc_time']:.3f}s "
-          f"dec={avg['dec_time']:.3f}s")
-
-    with open(outdir / "metrics.csv", "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=keys)
-        w.writeheader()
-        w.writerows(rows)
-        w.writerow({**{"filename": "average"}, **avg})
+    _write_csv(outdir, rows)
 
 
 if __name__ == "__main__":

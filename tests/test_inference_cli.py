@@ -111,3 +111,44 @@ def test_inference_main_end_to_end(tmp_path, kodim01):
     avg = rows[-1]
     assert abs(float(avg["total_bpp"]) -
                np.mean([float(r["total_bpp"]) for r in rows[:2]])) < 1e-9
+
+
+def test_inference_main_batched_matches_single(tmp_path, kodim01):
+    """--batch 2: one compress/decompress call for both images; per-image
+    rate columns must match the per-image mode exactly (frames are
+    per-image under the host coder) and quality must agree closely."""
+    from hyres_tpu.cli import inference
+    from hyres_tpu.models import LightWeightCheckerboard
+    from hyres_tpu.train import save_image
+    from hyres_tpu.train.checkpoint import save_checkpoint
+
+    model = LightWeightCheckerboard(N=16, M=24)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                        noisequant=True, rng=jax.random.key(1))
+    ckpt = tmp_path / "ck.msgpack"
+    save_checkpoint(params, str(ckpt))
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    save_image(kodim01[:64, :64], indir / "a.png")
+    save_image(kodim01[64:128, :64], indir / "b.png")
+
+    common = ["--checkpoint", str(ckpt), "--input", str(indir),
+              "--model", "checkerboard", "--N", "16", "--M", "24"]
+    inference.main(common + ["--output", str(tmp_path / "single")])
+    inference.main(common + ["--output", str(tmp_path / "batched"),
+                             "--batch", "2"])
+
+    def read(d):
+        with open(tmp_path / d / "metrics.csv") as f:
+            return {r["filename"]: r for r in csv.DictReader(f)}
+
+    single, batched = read("single"), read("batched")
+    assert set(batched) == {"a.png", "b.png", "average"}
+    for name in ("a.png", "b.png"):
+        for col in ("total_bpp", "y_bpp", "z_bpp"):
+            assert abs(float(batched[name][col]) -
+                       float(single[name][col])) < 1e-12, (name, col)
+        assert abs(float(batched[name]["psnr"]) -
+                   float(single[name]["psnr"])) < 0.1
+        assert (tmp_path / "batched" / f"{Path(name).stem}_recon.png").exists()
