@@ -171,6 +171,44 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"bench side-info: batched mode failed: {e!r}", file=sys.stderr)
 
+    # pipelined streaming: single-image roundtrips with image i's pull/
+    # framing overlapping image i+1's device compute (inference_stream)
+    try:
+        codec.inference_stream(imgs, depth=2)  # warm the interleaving
+        t0 = time.time()
+        outs = codec.inference_stream(imgs, depth=2)
+        jax.block_until_ready(outs[-1]["x_hat"])
+        st = (time.time() - t0) / len(imgs)
+        print(f"bench side-info: streamed {len(imgs)} single-image "
+              f"roundtrips = {st:.4f} s/image (depth 2)", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench side-info: streaming mode failed: {e!r}",
+              file=sys.stderr)
+
+    # batched + streamed: pipelined 4-image batches — batching divides
+    # the fixed per-call syncs, streaming hides the survivors behind the
+    # next batch's device compute (the --batch N --stream D CLI mode)
+    try:
+        wide = [p for p in KODAK if Image.open(p).size == (768, 512)][:8]
+        if len(wide) >= 8:
+            bs = [jnp.asarray(np.stack([
+                np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
+                for p in chunk])) for chunk in (wide[:4], wide[4:8])]
+            for _ in range(2):  # hwm seed, then speculative-pull compile
+                jax.block_until_ready(
+                    codec.inference_stream(bs, depth=2)[-1]["x_hat"])
+            t0 = time.time()
+            reps = 2
+            for _ in range(reps):
+                outs = codec.inference_stream(bs, depth=2)
+                jax.block_until_ready(outs[-1]["x_hat"])
+            bst = (time.time() - t0) / reps / 8
+            print(f"bench side-info: batch4+stream2 8 images = "
+                  f"{bst:.4f} s/image", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench side-info: batch+stream mode failed: {e!r}",
+              file=sys.stderr)
+
     value = float(np.mean(times))
     print(json.dumps({
         "metric": "hyres_encode_decode_total_per_kodak_image",

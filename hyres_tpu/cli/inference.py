@@ -50,6 +50,16 @@ def parse_args(argv=None):
                         "quality columns stay exact — frames are per-image "
                         "under both coders; enc/dec_time become per-image "
                         "amortized wall times")
+    p.add_argument("--stream", type=int, default=0, metavar="DEPTH",
+                   help="pipelined serving: keep DEPTH items in flight so "
+                        "item i's blob transfer + host framing overlap "
+                        "item i+1's device compute "
+                        "(CodecBase.inference_stream). Streams and "
+                        "reconstructions are bit-identical to sequential "
+                        "mode; enc/dec_time become per-image amortized "
+                        "wall times. Composes with --batch N: same-shape "
+                        "files are grouped into N-image tensors and the "
+                        "BATCHES are pipelined")
     p.add_argument("--cold-timings", action="store_true",
                    help="skip the per-shape warm-up roundtrip, so the first "
                         "image of each shape reports jit-compile time in "
@@ -277,6 +287,111 @@ def _run_batched(args, codec, files, outdir: Path):
     _write_csv(outdir, rows)
 
 
+def _run_streamed(args, codec, files, outdir: Path):
+    """--stream DEPTH mode: pipelined roundtrips, optionally batched.
+
+    With --batch N > 1, same-shape files are grouped into N-image
+    tensors and the BATCHES are pipelined — batch i's encode pull + host
+    framing overlap batch i+1's device compute, composing the two
+    amortizations (batching divides the fixed per-call syncs; streaming
+    hides them behind compute).
+
+    Per-image rate/quality columns are exact (the stream path runs the
+    same compiled programs on the same inputs as sequential inference —
+    tests/test_stream.py pins bit-equality); enc/dec_time are the total
+    stream wall time split per image by the compress/decompress wall
+    share, since individual items' host work overlaps other items'
+    device compute by design."""
+    import contextlib
+
+    import jax
+    from PIL import Image
+
+    from ..losses import ms_ssim
+    from ..train import load_image, save_image
+
+    if args.save_components:
+        print("--save-components is ignored in --stream mode")
+
+    nb_batch = max(1, args.batch)
+    if nb_batch > 1:
+        groups: dict = {}
+        for f in files:
+            groups.setdefault(Image.open(f).size, []).append(f)
+        chunks = [fs[i: i + nb_batch] for fs in groups.values()
+                  for i in range(0, len(fs), nb_batch)]
+    else:
+        chunks = [[f] for f in files]
+    xs = [jnp.asarray(np.concatenate([load_image(p) for p in c]))
+          for c in chunks]
+
+    if not args.cold_timings:
+        # warm every (shape, batch-length) once; twice for the first so
+        # the speculative sliced pull is compiled too
+        seen = set()
+        for x in xs:
+            for _ in range(2 if x.shape not in seen else 1):
+                comp = codec.compress(x)
+                dec = (codec.decompress(comp) if "jpeg_buffers" in comp
+                       else codec.decompress(comp["strings"], comp["shape"],
+                                             comp.get("size")))
+                jax.block_until_ready(dec["x_hat"])
+            seen.add(x.shape)
+
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+    with prof:
+        t0 = time.time()
+        outs = codec.inference_stream(xs, depth=args.stream)
+        jax.block_until_ready(outs[-1]["x_hat"])
+        wall = time.time() - t0
+
+    # split the amortized wall by each chunk's own enc/dec span ratio
+    spans = [(o["time"]["compression"], o["time"]["decompression"])
+             for o in outs]
+    tot = sum(e + d for e, d in spans) or 1.0
+    rows = []
+    n_img = sum(len(c) for c in chunks)
+    for paths, x, o, (e, d) in zip(chunks, xs, outs, spans):
+        comp = o["compressed"]
+        B, H, W = x.shape[0], x.shape[1], x.shape[2]
+        x_hat = jnp.clip(o["x_hat"], 0, 1)
+        share = wall * (e + d) / tot / B
+        for i, path in enumerate(paths):
+            nb = {
+                "y": _nbytes_image(comp["strings"][0], i),
+                "z": _nbytes_image(comp["strings"][1], i),
+                "jpeg": (len(comp["jpeg_buffers"][i])
+                         if "jpeg_buffers" in comp else 0),
+            }
+            bpp = {k: v * 8 / (H * W) for k, v in nb.items()}
+            mse = float(jnp.mean((x[i] - x_hat[i]) ** 2))
+            name = Path(path).stem
+            save_image(np.asarray(x_hat[i]), outdir / f"{name}_recon.png")
+            rows.append({
+                "filename": Path(path).name,
+                "total_bpp": sum(bpp.values()),
+                "jpeg_bpp": bpp["jpeg"],
+                "y_bpp": bpp["y"],
+                "z_bpp": bpp["z"],
+                "mse": mse,
+                "psnr": -10 * np.log10(mse),
+                "ms_ssim": float(ms_ssim(x[i: i + 1], x_hat[i: i + 1])),
+                "enc_time": share * e / (e + d),
+                "dec_time": share * d / (e + d),
+            })
+            r = rows[-1]
+            print(f"{r['filename']}: bpp={r['total_bpp']:.4f} "
+                  f"psnr={r['psnr']:.2f} ms-ssim={r['ms_ssim']:.4f} "
+                  f"enc={r['enc_time']:.3f}s dec={r['dec_time']:.3f}s "
+                  f"(streamed{f', batch of {B}' if B > 1 else ''}, "
+                  f"per-image amortized)", flush=True)
+    print(f"stream total: {wall:.3f}s for {n_img} images = "
+          f"{wall / n_img:.4f} s/image (depth {args.stream}"
+          f"{f', batch {nb_batch}' if nb_batch > 1 else ''})")
+    _write_csv(outdir, rows)
+
+
 def main(argv=None):
     args = parse_args(argv)
     from ..train import load_checkpoint
@@ -312,6 +427,9 @@ def main(argv=None):
 
     import jax
 
+    if args.stream > 0:
+        _run_streamed(args, codec, files, outdir)  # honors --batch too
+        return
     if args.batch > 1:
         _run_batched(args, codec, files, outdir)
         return

@@ -285,6 +285,59 @@ def supported(lanes: int) -> bool:
 _PROBE_OK = None
 
 
+def _run_outside_trace(body):
+    """Run body() on a fresh thread and return its result.
+
+    The probes are reached lazily from the GAUSS_IMPL dispatch, i.e. at
+    TRACE TIME of the caller's encode/decode jit (the first compress or
+    decompress call). Under omnistaging the probe's own jnp ops would be
+    staged into the caller's jaxpr and its np.asarray pulls would see
+    tracers (TracerArrayConversionError) — permanently latching the
+    probe False and silently disabling the kernels on TPU too. JAX trace
+    state is thread-local, so a fresh thread executes the probe eagerly
+    on the real backend regardless of any ambient trace.
+    (jax.ensure_compile_time_eval is NOT a substitute: it disables
+    staging outright, and pallas_call internals such as program_id have
+    no eager evaluation rule.)"""
+    import threading
+    out: dict = {}
+
+    def run():
+        try:
+            out["v"] = body()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            out["e"] = e
+
+    t = threading.Thread(target=run, name="pallas-rans-probe")
+    t.start()
+    t.join()
+    if "e" in out:
+        raise out["e"]
+    return out["v"]
+
+
+def _probe_body() -> bool:
+    n, lanes = TC * 128, 128
+    rng = np.random.default_rng(0)
+    st = np.exp(np.linspace(np.log(0.11), np.log(256.0), 64))
+    gt = tr.build_gauss_tables(st)
+    idx = rng.integers(0, 64, (1, n)).astype(np.int32)
+    sym = np.clip(np.round(rng.normal(0, st[idx])), -30000, 30000
+                  ).astype(np.int32)
+    enc = tr.gauss_encode_batch(jnp.asarray(sym), jnp.asarray(idx),
+                                gt, lanes)
+    f = tr.frame_plane(
+        np.asarray(enc["states"][0]), np.asarray(enc["stream"][0]),
+        int(enc["n_renorm"][0]), np.asarray(enc["esc_pos"][0]),
+        np.asarray(enc["esc_val"][0]), int(enc["n_esc"][0]))
+    _, states, stream, ep, ev = tr.unframe_plane(f, n)
+    dec = gauss_decode_batch(
+        jnp.asarray(stream[None]), jnp.asarray(states[None]),
+        jnp.asarray(idx), jnp.asarray(ep[None]), jnp.asarray(ev[None]),
+        gt, lanes, n)
+    return bool(np.array_equal(np.asarray(dec), sym))
+
+
 def probe() -> bool:
     """One-shot self-test: encode a tiny plane with the XLA encoder and
     decode it through the REAL kernel; True iff it compiles AND matches
@@ -297,25 +350,7 @@ def probe() -> bool:
     if _PROBE_OK is not None:
         return _PROBE_OK
     try:
-        n, lanes = TC * 128, 128
-        rng = np.random.default_rng(0)
-        st = np.exp(np.linspace(np.log(0.11), np.log(256.0), 64))
-        gt = tr.build_gauss_tables(st)
-        idx = rng.integers(0, 64, (1, n)).astype(np.int32)
-        sym = np.clip(np.round(rng.normal(0, st[idx])), -30000, 30000
-                      ).astype(np.int32)
-        enc = tr.gauss_encode_batch(jnp.asarray(sym), jnp.asarray(idx),
-                                    gt, lanes)
-        f = tr.frame_plane(
-            np.asarray(enc["states"][0]), np.asarray(enc["stream"][0]),
-            int(enc["n_renorm"][0]), np.asarray(enc["esc_pos"][0]),
-            np.asarray(enc["esc_val"][0]), int(enc["n_esc"][0]))
-        _, states, stream, ep, ev = tr.unframe_plane(f, n)
-        dec = gauss_decode_batch(
-            jnp.asarray(stream[None]), jnp.asarray(states[None]),
-            jnp.asarray(idx), jnp.asarray(ep[None]), jnp.asarray(ev[None]),
-            gt, lanes, n)
-        _PROBE_OK = bool(np.array_equal(np.asarray(dec), sym))
+        _PROBE_OK = _run_outside_trace(_probe_body)
     except Exception as e:  # Mosaic compile/runtime failure -> XLA path
         import warnings
         warnings.warn(f"pallas rANS kernel probe failed ({e!r}); "
@@ -513,40 +548,44 @@ def eb_decode_batch(stream_b: jax.Array, states_b: jax.Array,
 _EB_PROBE_OK = None
 
 
+def _probe_eb_body() -> bool:
+    import types
+    n, lanes, C = TC * 32, 32, 8
+    rng = np.random.default_rng(0)
+    pmf = np.exp(-0.5 * ((np.arange(31) - 15) / 3.0) ** 2)
+    freqs = np.maximum(1, np.round(pmf / pmf.sum() * 65000)
+                       ).astype(np.int64)
+    freqs = np.concatenate([freqs, [65536 - freqs.sum()]])
+    bounds = np.concatenate([[0], np.cumsum(freqs)])
+    host = types.SimpleNamespace(
+        quantized_cdf=np.tile(bounds, (C, 1)).astype(np.int32),
+        cdf_length=np.full(C, bounds.size, np.int32),
+        offset=np.full(C, -15, np.int32))
+    tables = tr.build_device_tables(host)
+    idx = rng.integers(0, C, (1, n)).astype(np.int32)
+    sym = np.clip(rng.normal(0, 4, (1, n)).round(), -15, 14
+                  ).astype(np.int32)
+    enc = jax.vmap(lambda s, i: tr.rans_encode(s, i, tables, lanes)
+                   )(jnp.asarray(sym), jnp.asarray(idx))
+    f = tr.frame_plane(
+        np.asarray(enc["states"][0]), np.asarray(enc["stream"][0]),
+        int(enc["n_renorm"][0]), np.asarray(enc["esc_pos"][0]),
+        np.asarray(enc["esc_val"][0]), int(enc["n_esc"][0]))
+    _, states, stream, ep, ev = tr.unframe_plane(f, n)
+    dec = eb_decode_batch(
+        jnp.asarray(stream[None]), jnp.asarray(states[None]),
+        jnp.asarray(idx), jnp.asarray(ep[None]), jnp.asarray(ev[None]),
+        tables, lanes, n)
+    return bool(np.array_equal(np.asarray(dec), sym))
+
+
 def probe_eb() -> bool:
     """One-shot self-test for the EB kernel (see probe)."""
     global _EB_PROBE_OK
     if _EB_PROBE_OK is not None:
         return _EB_PROBE_OK
     try:
-        import types
-        n, lanes, C = TC * 32, 32, 8
-        rng = np.random.default_rng(0)
-        pmf = np.exp(-0.5 * ((np.arange(31) - 15) / 3.0) ** 2)
-        freqs = np.maximum(1, np.round(pmf / pmf.sum() * 65000)
-                           ).astype(np.int64)
-        freqs = np.concatenate([freqs, [65536 - freqs.sum()]])
-        bounds = np.concatenate([[0], np.cumsum(freqs)])
-        host = types.SimpleNamespace(
-            quantized_cdf=np.tile(bounds, (C, 1)).astype(np.int32),
-            cdf_length=np.full(C, bounds.size, np.int32),
-            offset=np.full(C, -15, np.int32))
-        tables = tr.build_device_tables(host)
-        idx = rng.integers(0, C, (1, n)).astype(np.int32)
-        sym = np.clip(rng.normal(0, 4, (1, n)).round(), -15, 14
-                      ).astype(np.int32)
-        enc = jax.vmap(lambda s, i: tr.rans_encode(s, i, tables, lanes)
-                       )(jnp.asarray(sym), jnp.asarray(idx))
-        f = tr.frame_plane(
-            np.asarray(enc["states"][0]), np.asarray(enc["stream"][0]),
-            int(enc["n_renorm"][0]), np.asarray(enc["esc_pos"][0]),
-            np.asarray(enc["esc_val"][0]), int(enc["n_esc"][0]))
-        _, states, stream, ep, ev = tr.unframe_plane(f, n)
-        dec = eb_decode_batch(
-            jnp.asarray(stream[None]), jnp.asarray(states[None]),
-            jnp.asarray(idx), jnp.asarray(ep[None]), jnp.asarray(ev[None]),
-            tables, lanes, n)
-        _EB_PROBE_OK = bool(np.array_equal(np.asarray(dec), sym))
+        _EB_PROBE_OK = _run_outside_trace(_probe_eb_body)
     except Exception as e:  # Mosaic compile/runtime failure -> XLA path
         import warnings
         warnings.warn(f"pallas EB rANS kernel probe failed ({e!r}); "
@@ -835,6 +874,25 @@ def eb_encode_batch(sym_b: jax.Array, idx_b: jax.Array, tables,
 _ENC_PROBE_OK = None
 
 
+def _probe_enc_body() -> bool:
+    n, lanes = TC * 128 + 1000, 128   # partial last chunk on purpose
+    rng = np.random.default_rng(0)
+    st = np.exp(np.linspace(np.log(0.11), np.log(256.0), 64))
+    gt = tr.build_gauss_tables(st)
+    idx = rng.integers(0, 64, (2, n)).astype(np.int32)
+    sym = np.clip(np.round(rng.normal(0, st[idx])), -30000, 30000
+                  ).astype(np.int32)
+    sym[0, :2] = [31000, -31000]
+    ref = jax.vmap(lambda s, i: tr.gauss_encode(s, i, gt, lanes)
+                   )(jnp.asarray(sym), jnp.asarray(idx))
+    out = gauss_encode_batch(jnp.asarray(sym), jnp.asarray(idx),
+                             gt, lanes)
+    return all(
+        np.array_equal(np.asarray(ref[k]), np.asarray(out[k]))
+        for k in ("states", "stream", "n_renorm", "esc_pos",
+                  "esc_val", "n_esc"))
+
+
 def probe_enc() -> bool:
     """One-shot self-test for the encode kernel: the full output dict
     must match the XLA scan bit-for-bit on a tiny plane."""
@@ -842,22 +900,7 @@ def probe_enc() -> bool:
     if _ENC_PROBE_OK is not None:
         return _ENC_PROBE_OK
     try:
-        n, lanes = TC * 128 + 1000, 128   # partial last chunk on purpose
-        rng = np.random.default_rng(0)
-        st = np.exp(np.linspace(np.log(0.11), np.log(256.0), 64))
-        gt = tr.build_gauss_tables(st)
-        idx = rng.integers(0, 64, (2, n)).astype(np.int32)
-        sym = np.clip(np.round(rng.normal(0, st[idx])), -30000, 30000
-                      ).astype(np.int32)
-        sym[0, :2] = [31000, -31000]
-        ref = jax.vmap(lambda s, i: tr.gauss_encode(s, i, gt, lanes)
-                       )(jnp.asarray(sym), jnp.asarray(idx))
-        out = gauss_encode_batch(jnp.asarray(sym), jnp.asarray(idx),
-                                 gt, lanes)
-        _ENC_PROBE_OK = all(
-            np.array_equal(np.asarray(ref[k]), np.asarray(out[k]))
-            for k in ("states", "stream", "n_renorm", "esc_pos",
-                      "esc_val", "n_esc"))
+        _ENC_PROBE_OK = _run_outside_trace(_probe_enc_body)
     except Exception as e:  # Mosaic compile/runtime failure -> XLA path
         import warnings
         warnings.warn(f"pallas rANS encode kernel probe failed ({e!r}); "

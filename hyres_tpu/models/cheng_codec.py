@@ -92,6 +92,15 @@ class Cheng2020Codec(CodecBase):
         self._dec_synthesis = dec_synthesis
 
     def compress(self, x: jax.Array) -> Dict:
+        return self._compress_finish(self._compress_dispatch(x))
+
+    def _compress_dispatch(self, x: jax.Array):
+        """Async half of compress for the pipelined serving path
+        (CodecBase.inference_stream): analysis + both passes' stage
+        programs + encode scans + the pull's pack program enqueue with
+        no host sync under the TPU coder. The symbol/index arrays ride
+        the state so an OverflowError at pull time can re-code on the
+        host single-stream coder without recomputing the stages."""
         self._require_tables()
         start = time.time()
         size = (int(x.shape[1]), int(x.shape[2]))
@@ -102,15 +111,24 @@ class Cheng2020Codec(CodecBase):
         _, n_idx, mn_p = self._dec_nonanchor(hyper, a_sym, ma_p)
         n_sym = self._enc_symbols(y, mn_p, CHENG_NONANCHOR)
 
-        if self.tpu_coder is not None:
-            from .codec import pull_encs
+        syms = (z_sym, a_sym, a_idx, n_sym, n_idx)
+        if self.tpu_coder is None:
+            return ("host", (syms, size, start))
+        from .codec import pull_encs_dispatch
 
+        encs = self.tpu_coder.encode_all(z_sym, a_sym, a_idx, n_sym, n_idx)
+        finish_pull = pull_encs_dispatch(
+            encs, cap_state=self.__dict__.setdefault("_enc_cap_state", {}))
+        return ("tpu", (finish_pull, syms, size, start))
+
+    def _compress_finish(self, state) -> Dict:
+        kind, payload = state
+        if kind == "tpu":
+            finish_pull, syms, size, start = payload
+            z_sym = syms[0]
             tc = self.tpu_coder
-            encs = tc.encode_all(z_sym, a_sym, a_idx, n_sym, n_idx)
             try:
-                (enc_z, enc_a, enc_n), _ = pull_encs(
-                    encs, cap_state=self.__dict__.setdefault(
-                        "_enc_cap_state", {}))
+                (enc_z, enc_a, enc_n), _ = finish_pull()
                 # TPU mode: the two passes are separate per-image frame
                 # LISTS (like the checkerboard layout) instead of the
                 # reference's single flushed stream; decode dispatches on
@@ -126,6 +144,9 @@ class Cheng2020Codec(CodecBase):
                 }
             except OverflowError:
                 pass  # fall through to the host single-stream coder
+        else:
+            syms, size, start = payload
+        z_sym, a_sym, a_idx, n_sym, n_idx = syms
 
         gt = self.gauss_tables
         a_sym_np, a_idx_np = np.asarray(a_sym), np.asarray(a_idx)
@@ -181,8 +202,23 @@ class Cheng2020Codec(CodecBase):
         x_hat.block_until_ready()
         return {"x_hat": x_hat, "time": time.time() - start}
 
+    def _decompress_dispatch(self, strings, shape, size=None):
+        """Async half of decompress (pipelined serving): returns
+        (x_hat, start) WITHOUT the final sync for TPU-framed payloads;
+        host-framed payloads degrade to the eager decompress."""
+        if (self.tpu_coder is not None and strings[0]
+                and not isinstance(strings[0][0], (bytes, bytearray))):
+            return self._decompress_tpu_dispatch(strings, shape, size)
+        start = time.time()
+        return self.decompress(strings, shape, size)["x_hat"], start
+
     def _decompress_tpu(self, strings, shape, size=None) -> Dict:
-        """All-device decode chain, single final sync."""
+        x_hat, start = self._decompress_tpu_dispatch(strings, shape, size)
+        x_hat.block_until_ready()
+        return {"x_hat": x_hat, "time": time.time() - start}
+
+    def _decompress_tpu_dispatch(self, strings, shape, size=None):
+        """All-device decode chain, no host sync (caller syncs on x_hat)."""
         from .codec import TpuPlaneCoder
 
         tc = self.tpu_coder
@@ -209,5 +245,4 @@ class Cheng2020Codec(CodecBase):
         x_hat = self._dec_synthesis(y_anchor_hat, n_sym, mn_p)
         if size is not None:
             x_hat = x_hat[:, : size[0], : size[1], :]
-        x_hat.block_until_ready()
-        return {"x_hat": x_hat, "time": time.time() - start}
+        return x_hat, start

@@ -472,13 +472,20 @@ def _exact_plans(sizes: np.ndarray, lanes_l: Sequence[int],
     return plans
 
 
-def pull_encs(encs: Sequence[Dict], extra: jax.Array | None = None,
-              cap_state: dict | None = None):
-    """Download a tuple/list of device encoder-output dicts (+ optional
-    dense `extra` payload) over the tunnel. Raises OverflowError when any
-    plane overflowed its stream cap or escape list — callers already
-    treat that as "re-frame with the host coder". Returns (host enc
-    dicts, extra as a dense (B, n) numpy array or None).
+def pull_encs_dispatch(encs: Sequence[Dict], extra: jax.Array | None = None,
+                       cap_state: dict | None = None):
+    """Enqueue the device-side pack program for a pull WITHOUT syncing;
+    returns a zero-arg ``finish()`` closure that performs the device_get
+    + host unpack (the sync half of :func:`pull_encs`). Pipelined callers
+    dispatch the NEXT image's encode programs between the two halves so
+    this image's blob transfer and host framing overlap the next image's
+    device compute (TPU executes programs in dispatch order, but D2H DMA
+    overlaps compute).
+
+    Raises OverflowError (from finish()) when any plane overflowed its
+    stream cap or escape list — callers already treat that as "re-frame
+    with the host coder". finish() returns (host enc dicts, extra as a
+    dense (B, n) numpy array or None).
 
     Pull strategy (tunnel syncs cost ~25 ms EACH; cap padding is ~10x
     the real bytes at ~20-40 MB/s):
@@ -551,37 +558,56 @@ def pull_encs(encs: Sequence[Dict], extra: jax.Array | None = None,
             el = 0 if st["escs"][p] == 0 else tpu_rans.ESC_MAX
             plans.append((lanes_l[p], sl, el))
         cc, extra_info = coef_cap_for(st["nnz"] * 5 // 4 + 64)
-        blob = _device_get_counted(_pack_sliced_jit(
+        blob_dev = _pack_sliced_jit(
             encs, extra_arr, slices=tuple((sl, el) for _, sl, el in plans),
-            coef_cap=cc, with_sizes=True))
-        out, extra_np, sizes = _unpack_sliced_host(
-            blob, plans, extra_info, with_sizes=True)
-        _check_true_overflow(sizes, caps)
-        fits = all(
-            int(sizes[:, 2 * p].max()) <= plans[p][1]
-            and int(sizes[:, 2 * p + 1].max()) <= plans[p][2]
-            for p in range(len(encs))
-        ) and (cc is None or int(sizes[:, -1].max()) <= cc)
-        if fits:
-            return finalize(out, extra_np, sizes)
-        return exact_repull(sizes)  # rare: stats moved past the hwm
+            coef_cap=cc, with_sizes=True)
+
+        def finish():
+            blob = _device_get_counted(blob_dev)
+            out, extra_np, sizes = _unpack_sliced_host(
+                blob, plans, extra_info, with_sizes=True)
+            _check_true_overflow(sizes, caps)
+            fits = all(
+                int(sizes[:, 2 * p].max()) <= plans[p][1]
+                and int(sizes[:, 2 * p + 1].max()) <= plans[p][2]
+                for p in range(len(encs))
+            ) and (cc is None or int(sizes[:, -1].max()) <= cc)
+            if fits:
+                return finalize(out, extra_np, sizes)
+            return exact_repull(sizes)  # rare: stats moved past the hwm
+        return finish
 
     if B == 1:
-        blob_np = _device_get_counted(_pack_full_jit(encs, extra_arr))
-        metas = [(lanes_l[p], caps[p]) for p in range(len(encs))]
-        out, extra_bytes = unpack_encs_host(blob_np, metas)
-        # sizes for the hwm from the pulled fields themselves
-        nnz = 0
-        if extra is not None:
-            flat = np.ascontiguousarray(extra_bytes).view(dt)
-            nnz = int((flat != 0).sum(axis=1).max())
-        sizes = np.stack(
-            [c for e in out for c in (e["n_renorm"], e["n_esc"])]
-            + [np.full(B, nnz, np.int32)], axis=1)
-        return finalize(out, None if extra is None else extra_bytes, sizes)
+        blob_dev = _pack_full_jit(encs, extra_arr)
 
-    sizes = np.asarray(_device_get_counted(_sizes_jit(encs, extra_arr)))
-    return exact_repull(sizes)
+        def finish():
+            blob_np = _device_get_counted(blob_dev)
+            metas = [(lanes_l[p], caps[p]) for p in range(len(encs))]
+            out, extra_bytes = unpack_encs_host(blob_np, metas)
+            # sizes for the hwm from the pulled fields themselves
+            nnz = 0
+            if extra is not None:
+                flat = np.ascontiguousarray(extra_bytes).view(dt)
+                nnz = int((flat != 0).sum(axis=1).max())
+            sizes = np.stack(
+                [c for e in out for c in (e["n_renorm"], e["n_esc"])]
+                + [np.full(B, nnz, np.int32)], axis=1)
+            return finalize(out, None if extra is None else extra_bytes,
+                            sizes)
+        return finish
+
+    sizes_dev = _sizes_jit(encs, extra_arr)
+
+    def finish():
+        sizes = np.asarray(_device_get_counted(sizes_dev))
+        return exact_repull(sizes)
+    return finish
+
+
+def pull_encs(encs: Sequence[Dict], extra: jax.Array | None = None,
+              cap_state: dict | None = None):
+    """Dispatch + finish in one call (the non-pipelined pull)."""
+    return pull_encs_dispatch(encs, extra, cap_state)()
 
 
 class TpuPlaneCoder:
@@ -818,6 +844,30 @@ class CheckerboardCodec(CodecBase):
         y, z_sym = self._enc_analysis(x)
         return self._compress_from_latents(y, z_sym, size, start)
 
+    def _compress_dispatch(self, x):
+        """Async half of compress for the pipelined serving path
+        (CodecBase.inference_stream): analysis + stages + encode scans +
+        pull pack all enqueue without a host sync under the TPU coder.
+        Host-coder codecs degrade to the eager base behavior in
+        _compress_finish (their per-plane host rANS is inherently
+        synchronous, though its dispatch already overlaps stages)."""
+        self._require_tables()
+        start = time.time()
+        size = (int(x.shape[1]), int(x.shape[2]))
+        x = pad_to_multiple(x, 64)
+        y, z_sym = self._enc_analysis(x)
+        if self.tpu_coder is None:
+            return ("host", (y, z_sym, size, start))
+        return ("tpu", (self._latents_dispatch_tpu(y, z_sym), size, start))
+
+    def _compress_finish(self, state):
+        kind, payload = state
+        if kind == "host":
+            y, z_sym, size, start = payload
+            return self._compress_from_latents_host(y, z_sym, size, start)
+        disp, size, start = payload
+        return self._latents_finish_tpu(disp, size, start)
+
     def _compress_from_latents(self, y, z_sym, size, start, extra=None):
         if self.tpu_coder is not None:
             return self._compress_from_latents_tpu(y, z_sym, size, start, extra)
@@ -857,16 +907,30 @@ class CheckerboardCodec(CodecBase):
         re-frames with the host coder — formats are never mixed within a
         compressed payload (the decode path picks one choreography for
         the batch)."""
+        return self._latents_finish_tpu(
+            self._latents_dispatch_tpu(y, z_sym, extra), size, start, extra)
+
+    def _latents_dispatch_tpu(self, y, z_sym, extra=None):
+        """Async half of the TPU-coder encode: enqueue the stage programs,
+        the three rANS encode scans, and the pull's pack program — no
+        host sync. Returns an opaque state for _latents_finish_tpu.
+        Pipelined callers (inference_stream) dispatch the NEXT image
+        between the halves so this image's blob transfer + host framing
+        overlap the next image's device compute."""
         tc = self.tpu_coder
-        B = z_sym.shape[0]
         lp, a_idx, ma_p, a_sym = self._dec_stage1(z_sym, y)
         _, n_idx, mn_p, n_sym = self._dec_stage2(lp, a_sym, ma_p, y)
         enc_z, enc_a, enc_n = tc.encode_all(z_sym, a_sym, a_idx, n_sym, n_idx)
+        finish_pull = pull_encs_dispatch(
+            (enc_z, enc_a, enc_n), extra,
+            cap_state=self.__dict__.setdefault("_enc_cap_state", {}))
+        return (finish_pull, z_sym, a_sym, a_idx, n_sym, n_idx)
 
+    def _latents_finish_tpu(self, disp, size, start, extra=None):
+        finish_pull, z_sym, a_sym, a_idx, n_sym, n_idx = disp
+        tc = self.tpu_coder
         try:
-            (enc_z, enc_a, enc_n), extra_np = pull_encs(
-                (enc_z, enc_a, enc_n), extra,
-                cap_state=self.__dict__.setdefault("_enc_cap_state", {}))
+            (enc_z, enc_a, enc_n), extra_np = finish_pull()
             z_strings = tc.frames_from_enc(enc_z)
             anchor_strings = tc.frames_from_enc(enc_a)
             nonanchor_strings = tc.frames_from_enc(enc_n)
@@ -888,14 +952,22 @@ class CheckerboardCodec(CodecBase):
 
     def decompress(self, strings, shape: Tuple[int, int],
                    size: Tuple[int, int] | None = None) -> Dict:
+        x_hat, start = self._decompress_dispatch(strings, shape, size)
+        x_hat.block_until_ready()
+        return {"x_hat": x_hat, "time": time.time() - start}
+
+    def _decompress_dispatch(self, strings, shape, size=None):
+        """Async half of decompress: host unframe + ONE upload + the
+        all-device decode chain, returned WITHOUT the final sync (the
+        TPU-coder chain is fully async; the host-coder path still syncs
+        per stage inside _decode_latent_stages)."""
         self._require_tables()
         start = time.time()
         stages = self._decode_latent_stages(strings, shape)
         x_hat = self._dec_stage3(*stages)
         if size is not None:
             x_hat = x_hat[:, : size[0], : size[1], :]
-        x_hat.block_until_ready()
-        return {"x_hat": x_hat, "time": time.time() - start}
+        return x_hat, start
 
     def _decode_latent_stages(self, strings, shape, extra_bytes=None):
         """Shared decode choreography up to (y_anchor_hat, n_sym, mn_p).

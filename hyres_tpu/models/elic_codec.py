@@ -171,6 +171,17 @@ class ElicCodec(CodecBase):
         transfer pulls every compacted stream (vs 22 host codings in the
         host path — the reference's per-slice CompressAI calls,
         /root/reference/models/elic.py:410-495)."""
+        return self._compress_finish(self._compress_dispatch(x))
+
+    def _compress_dispatch(self, x: jax.Array):
+        """Async half of compress for the pipelined serving path
+        (CodecBase.inference_stream): enqueue the slice chain, the rANS
+        encode scans, and the pull's pack program — no host sync. The
+        host-coder ELIC stays eager (its per-slice host codings are
+        inherently synchronous)."""
+        self._require_tables()
+        if self.tpu_coder is None:
+            return ("eager", self.compress(x))
         tc = self.tpu_coder
         t_start = time.time()
         size = (int(x.shape[1]), int(x.shape[2]))
@@ -195,17 +206,27 @@ class ElicCodec(CodecBase):
             y_hat_slices.append(self._dec_combine(y_anchor_hat, n_sym, mn_p))
         enc_z = tc.encode_eb(z_sym)
 
-        from .codec import pull_encs
+        from .codec import pull_encs_dispatch
 
         # all 11 planes ride one pull (one u8 wire blob at B==1; tiny
         # size pull + bucket-sliced blob at B>=2 — see codec.py's
         # two-phase notes; the unpacked pytree would otherwise be 66
         # separate ~25 ms-latency transfers)
+        finish_pull = pull_encs_dispatch(
+            encs + [enc_z], cap_state=self.__dict__.setdefault(
+                "_enc_cap_state", {}))
         t_enqueue = time.time() - t_start
+        z_shape = (int(z_sym.shape[1]), int(z_sym.shape[2]))
+        return ("tpu", (finish_pull, x, z_shape, size, t_start, t_enqueue))
+
+    def _compress_finish(self, state) -> Dict:
+        kind, payload = state
+        if kind == "eager":
+            return payload
+        finish_pull, x_padded, z_shape, size, t_start, t_enqueue = payload
+        tc = self.tpu_coder
         try:
-            unpacked, _ = pull_encs(
-                encs + [enc_z], cap_state=self.__dict__.setdefault(
-                    "_enc_cap_state", {}))
+            unpacked, _ = finish_pull()
             t_sync = time.time() - t_start - t_enqueue
             encs, enc_z = unpacked[:-1], unpacked[-1]
             y_strings = [tc.frames_from_enc(e) for e in encs]
@@ -213,10 +234,10 @@ class ElicCodec(CodecBase):
         except OverflowError:
             # x is already padded here; the host path would recompute
             # "size" from the padded shape, so the true size is forced
-            return self._compress_host_fallback(x, size)
+            return self._compress_host_fallback(x_padded, size)
         return {
             "strings": [y_strings, z_strings],
-            "shape": (int(z_sym.shape[1]), int(z_sym.shape[2])),
+            "shape": z_shape,
             "size": size,
             "time": time.time() - t_start,
             # the per-stage attribution of the host path (y_enc/z_enc/
@@ -273,10 +294,30 @@ class ElicCodec(CodecBase):
         x_hat.block_until_ready()
         return {"x_hat": x_hat, "time": time.time() - t_start}
 
+    def _decompress_dispatch(self, strings, shape, size=None):
+        """Async half of decompress (pipelined serving): host unframe +
+        ONE upload + the all-device decode chain, returned WITHOUT the
+        final sync as (x_hat, start). Host-coder codecs and host-framed
+        payloads degrade to the eager decompress (already synced)."""
+        if self.tpu_coder is not None:
+            disp = self._decompress_tpu_dispatch(strings, shape, size)
+            if disp is not None:
+                return disp
+        start = time.time()
+        return self.decompress(strings, shape, size)["x_hat"], start
+
     def _decompress_tpu(self, strings, shape, size=None) -> Dict | None:
+        disp = self._decompress_tpu_dispatch(strings, shape, size)
+        if disp is None:
+            return None
+        x_hat, t_start = disp
+        x_hat.block_until_ready()
+        return {"x_hat": x_hat, "time": time.time() - t_start}
+
+    def _decompress_tpu_dispatch(self, strings, shape, size=None):
         """All-device decode: 10 per-slice rANS scans interleaved with the
-        shared stage programs, no host sync until x_hat. Returns None for
-        host-framed payloads."""
+        shared stage programs, no host sync at all (the caller syncs on
+        x_hat). Returns None for host-framed payloads."""
         from .codec import TpuPlaneCoder
 
         tc = self.tpu_coder
@@ -323,5 +364,4 @@ class ElicCodec(CodecBase):
         x_hat = self._dec_synthesis(y_hat_slices)
         if size is not None:
             x_hat = x_hat[:, : size[0], : size[1], :]
-        x_hat.block_until_ready()
-        return {"x_hat": x_hat, "time": time.time() - t_start}
+        return x_hat, t_start

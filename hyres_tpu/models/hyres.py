@@ -47,6 +47,7 @@ def _coef_fit_int8(quality: int) -> bool:
     qy, qc = quality_to_qtables(quality)
     return int(min(qy.min(), qc.min())) >= 9
 from ..nn import MultiScaleRefine
+from .base import CodecBase
 from .checkerboard import LightWeightCheckerboard
 from .codec import CheckerboardCodec
 
@@ -236,18 +237,41 @@ class HyresCodec:
         self._residual.install_tables(tables)
 
     def compress(self, x: jax.Array) -> Dict:
+        return self._compress_finish(self._compress_dispatch(x))
+
+    def _compress_dispatch(self, x: jax.Array):
+        """Async half of compress (pipelined serving,
+        CodecBase.inference_stream): JPEG front + residual stages +
+        encode scans + pull pack enqueue with NO host sync under the TPU
+        coder; the JPEG coefficients ride the same pull as ``extra``."""
         start = time.time()
-        q = self.model.jpeg_quality
         size = (int(x.shape[1]), int(x.shape[2]))
         (cy, ccb, ccr), coef_flat, y, z_sym = self._enc_front(x)
-        # residual coding + coefficient download share ONE device sync
-        out, coefs = self._residual._compress_from_latents(
-            y, z_sym, size, start, extra=coef_flat)
-        splits = np.cumsum([int(np.prod(c.shape[1:])) for c in (cy, ccb)])
+        shapes = tuple(tuple(c.shape[1:]) for c in (cy, ccb, ccr))
+        r = self._residual
+        if r.tpu_coder is None:
+            return ("host", ((y, z_sym, coef_flat), shapes, size, start))
+        r._require_tables()
+        disp = r._latents_dispatch_tpu(y, z_sym, extra=coef_flat)
+        return ("tpu", ((disp, coef_flat), shapes, size, start))
+
+    def _compress_finish(self, state) -> Dict:
+        kind, (enc, shapes, size, start) = state
+        r = self._residual
+        if kind == "host":
+            y, z_sym, coef_flat = enc
+            # residual coding + coefficient download share ONE device sync
+            out, coefs = r._compress_from_latents(
+                y, z_sym, size, start, extra=coef_flat)
+        else:
+            disp, coef_flat = enc
+            out, coefs = r._latents_finish_tpu(disp, size, start,
+                                               extra=coef_flat)
+        q = self.model.jpeg_quality
+        splits = np.cumsum([int(np.prod(s)) for s in shapes[:2]])
         ynp, cbnp, crnp = (
-            part.reshape((-1,) + tuple(src.shape[1:])).astype(np.int16)
-            for part, src in zip(np.split(coefs, splits, axis=1),
-                                 (cy, ccb, ccr)))
+            part.reshape((-1,) + shp).astype(np.int16)
+            for part, shp in zip(np.split(coefs, splits, axis=1), shapes))
         jpeg_buffers: List[bytes] = [
             assemble_jfif(ynp[i], cbnp[i], crnp[i], size[1], size[0], q)
             for i in range(ynp.shape[0])
@@ -257,6 +281,13 @@ class HyresCodec:
         return out
 
     def decompress(self, compressed: Dict) -> Dict:
+        x_hat, start = self._dec_dispatch_from_comp(compressed)
+        x_hat.block_until_ready()
+        return {"x_hat": x_hat, "time": time.time() - start}
+
+    def _dec_dispatch_from_comp(self, compressed: Dict):
+        """Async half of decompress: JFIF parse + ONE upload + the fused
+        all-device decode chain; no final sync (pipelined serving)."""
         start = time.time()
         buffers = compressed["jpeg_buffers"]
         planes = [ParsedJpeg(b) for b in buffers]
@@ -303,8 +334,7 @@ class HyresCodec:
             flat.dtype.itemsize,
             tuple(tuple(s.shape) for s in stacked), p0.height, p0.width,
             sparse_cap)
-        x_hat.block_until_ready()
-        return {"x_hat": x_hat, "time": time.time() - start}
+        return x_hat, start
 
     def inference(self, x: jax.Array) -> Dict:
         comp = self.compress(x)
@@ -318,3 +348,9 @@ class HyresCodec:
                 "total": comp["time"] + dec["time"],
             },
         }
+
+    def inference_stream(self, xs, depth: int = 2) -> List[Dict]:
+        """Pipelined roundtrips (see CodecBase.inference_stream — shared
+        implementation; HyresCodec composes rather than inherits, so the
+        unbound call wires the same hooks)."""
+        return CodecBase.inference_stream(self, xs, depth)

@@ -152,3 +152,60 @@ def test_inference_main_batched_matches_single(tmp_path, kodim01):
         assert abs(float(batched[name]["psnr"]) -
                    float(single[name]["psnr"])) < 0.1
         assert (tmp_path / "batched" / f"{Path(name).stem}_recon.png").exists()
+
+
+def test_inference_main_streamed_matches_single(tmp_path, kodim01):
+    """--stream 2: pipelined single-image roundtrips; rate columns must
+    match per-image mode EXACTLY (the stream path runs the same compiled
+    programs on the same inputs — tests/test_stream.py pins bitstream
+    equality at the codec level; this pins the CLI surface)."""
+    from hyres_tpu.cli import inference
+    from hyres_tpu.models import LightWeightCheckerboard
+    from hyres_tpu.train import save_image
+    from hyres_tpu.train.checkpoint import save_checkpoint
+
+    model = LightWeightCheckerboard(N=16, M=24)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                        noisequant=True, rng=jax.random.key(1))
+    ckpt = tmp_path / "ck.msgpack"
+    save_checkpoint(params, str(ckpt))
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    save_image(kodim01[:64, :64], indir / "a.png")
+    save_image(kodim01[64:128, :64], indir / "b.png")
+
+    common = ["--checkpoint", str(ckpt), "--input", str(indir),
+              "--model", "checkerboard", "--N", "16", "--M", "24",
+              "--coder", "tpu"]
+    inference.main(common + ["--output", str(tmp_path / "single")])
+    inference.main(common + ["--output", str(tmp_path / "streamed"),
+                             "--stream", "2"])
+
+    def read(d):
+        with open(tmp_path / d / "metrics.csv") as f:
+            return {r["filename"]: r for r in csv.DictReader(f)}
+
+    single, streamed = read("single"), read("streamed")
+    assert set(streamed) == {"a.png", "b.png", "average"}
+    for name in ("a.png", "b.png"):
+        for col in ("total_bpp", "y_bpp", "z_bpp", "mse"):
+            assert abs(float(streamed[name][col]) -
+                       float(single[name][col])) < 1e-12, (name, col)
+        assert float(streamed[name]["enc_time"]) > 0
+        assert float(streamed[name]["dec_time"]) > 0
+        assert (tmp_path / "streamed" / f"{Path(name).stem}_recon.png").exists()
+
+    # --batch composes with --stream: pipelined 2-image batches; the
+    # per-image rate columns stay exact (per-image frames inside the
+    # batched payload) and quality matches single-image mode closely
+    # (batched JPEG/codec math is the same program at B=2)
+    inference.main(common + ["--output", str(tmp_path / "bs"),
+                             "--batch", "2", "--stream", "2"])
+    bs = read("bs")
+    assert set(bs) == {"a.png", "b.png", "average"}
+    for name in ("a.png", "b.png"):
+        assert abs(float(bs[name]["total_bpp"]) -
+                   float(single[name]["total_bpp"])) < 5e-3
+        assert abs(float(bs[name]["psnr"]) -
+                   float(single[name]["psnr"])) < 0.1
