@@ -211,11 +211,27 @@ COMPACT_MODE = os.environ.get("HYRES_COMPACT", "merge")
 # Gaussian-plane DECODE lowering: "xla" (lax.scan, this module),
 # "pallas" (coding/pallas_rans.py — the whole decode scan in one Mosaic
 # kernel, sublane-batched up to 8 images in lockstep), or "auto"
-# (default: pallas when a one-shot on-backend self-test decodes a real
-# XLA-framed plane bit-exactly through the kernel, else xla — see
-# pallas_rans.probe). v2 streams are lowering-independent (exact-integer
-# wire contract), so this is purely a latency knob.
+# (default: pallas when the backend lowers Mosaic natively AND a
+# one-shot self-test decodes a real XLA-framed plane bit-exactly through
+# the kernel, else xla — see pallas_rans.probe). v2 streams are
+# lowering-independent (exact-integer wire contract), so this is purely
+# a latency knob.
 GAUSS_IMPL = os.environ.get("HYRES_GAUSS_IMPL", "auto")
+
+
+def _auto_kernel_ok(probe_fn) -> bool:
+    """auto-mode gate for the Pallas lowerings.
+
+    On backends without native Mosaic support (CPU) pallas_call runs in
+    interpret mode — an emulation meant for correctness tests, orders of
+    magnitude slower than this module's XLA scans (a 256x256 image's
+    196k-symbol plane takes minutes instead of milliseconds). "auto"
+    therefore takes a kernel only on a real Mosaic backend and only
+    after its one-shot bit-exactness probe; GAUSS_IMPL=pallas still
+    forces the kernel anywhere (how the CPU test suite exercises the
+    kernels in interpret mode)."""
+    from . import pallas_rans
+    return not pallas_rans._interpret() and probe_fn()
 
 
 def _pad_stream(stream: jax.Array, lanes: int) -> jax.Array:
@@ -563,7 +579,8 @@ def rans_decode_batch(stream_b: jax.Array, states_b: jax.Array,
     if GAUSS_IMPL in ("pallas", "auto"):
         from . import pallas_rans
         if pallas_rans.supported(lanes) and (
-                GAUSS_IMPL == "pallas" or pallas_rans.probe_eb()):
+                GAUSS_IMPL == "pallas"
+                or _auto_kernel_ok(pallas_rans.probe_eb)):
             return pallas_rans.eb_decode_batch(
                 stream_b, states_b, idx_b, esc_pos_b, esc_val_b,
                 tables, lanes, n)
@@ -870,7 +887,8 @@ def gauss_encode_batch(sym_b: jax.Array, idx_b: jax.Array,
     if GAUSS_IMPL in ("pallas", "auto"):
         from . import pallas_rans
         if pallas_rans.supported(lanes) and (
-                GAUSS_IMPL == "pallas" or pallas_rans.probe_enc()):
+                GAUSS_IMPL == "pallas"
+                or _auto_kernel_ok(pallas_rans.probe_enc)):
             return pallas_rans.gauss_encode_batch(sym_b, idx_b, gt, lanes)
     return jax.vmap(lambda s, i: gauss_encode(s, i, gt, lanes)
                     )(sym_b, idx_b)
@@ -884,7 +902,8 @@ def rans_encode_batch(sym_b: jax.Array, idx_b: jax.Array,
     if GAUSS_IMPL in ("pallas", "auto"):
         from . import pallas_rans
         if pallas_rans.supported(lanes) and (
-                GAUSS_IMPL == "pallas" or pallas_rans.probe_enc()):
+                GAUSS_IMPL == "pallas"
+                or _auto_kernel_ok(pallas_rans.probe_enc)):
             return pallas_rans.eb_encode_batch(sym_b, idx_b, tables, lanes)
     return jax.vmap(lambda s, i: rans_encode(s, i, tables, lanes)
                     )(sym_b, idx_b)
@@ -902,7 +921,8 @@ def gauss_decode_batch(stream_b: jax.Array, states_b: jax.Array,
     if GAUSS_IMPL in ("pallas", "auto"):
         from . import pallas_rans
         if pallas_rans.supported(lanes) and (
-                GAUSS_IMPL == "pallas" or pallas_rans.probe()):
+                GAUSS_IMPL == "pallas"
+                or _auto_kernel_ok(pallas_rans.probe)):
             return pallas_rans.gauss_decode_batch(
                 stream_b, states_b, idx_b, esc_pos_b, esc_val_b, gt,
                 lanes, n)

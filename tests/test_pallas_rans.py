@@ -153,12 +153,19 @@ def test_plane_coder_rides_pallas(monkeypatch):
 
 
 def test_auto_impl_probe(monkeypatch):
-    """GAUSS_IMPL=auto self-tests the kernel once (bit-exact tiny-plane
-    cross-decode) and then routes through it; the probe passes in
-    interpret mode on CPU."""
+    """GAUSS_IMPL=auto: the probe passes in interpret mode on CPU, but
+    auto only ROUTES through the kernel on a native Mosaic backend —
+    interpret emulation is orders of magnitude slower than the XLA
+    scans, so a CPU-forced production host must get the scans (the
+    kernel lowering is pinned unreachable here by making it raise)."""
     monkeypatch.setattr(tr, "GAUSS_IMPL", "auto")
     monkeypatch.setattr(pr, "_PROBE_OK", None)
     assert pr.probe() is True
+    if jax.default_backend() == "cpu":
+        monkeypatch.setattr(pr, "gauss_decode_batch",
+                            lambda *a, **k: (_ for _ in ()).throw(
+                                AssertionError("auto took interpret-mode "
+                                               "pallas on CPU")))
     rng = np.random.default_rng(5)
     lanes, n, B = 128, 20000, 2
     gt = tr.build_gauss_tables(_scale_table())
@@ -215,11 +222,17 @@ def test_eb_pallas_decodes_xla_stream(B, n, lanes):
 
 
 def test_eb_auto_dispatch(monkeypatch):
-    """rans_decode_batch auto-dispatch probes the EB kernel and matches
-    the XLA scan."""
+    """rans_decode_batch auto-dispatch: the EB probe passes on CPU, but
+    auto routes to the XLA scan on interpret backends (see
+    test_auto_impl_probe) and still decodes exactly."""
     monkeypatch.setattr(tr, "GAUSS_IMPL", "auto")
     monkeypatch.setattr(pr, "_EB_PROBE_OK", None)
     assert pr.probe_eb() is True
+    if jax.default_backend() == "cpu":
+        monkeypatch.setattr(pr, "eb_decode_batch",
+                            lambda *a, **k: (_ for _ in ()).throw(
+                                AssertionError("auto took interpret-mode "
+                                               "pallas on CPU")))
     rng = np.random.default_rng(7)
     B, n, lanes = 2, 12288, 32
     tables = _eb_tables()
@@ -289,3 +302,32 @@ def test_eb_encode_kernel_matches_xla():
 def test_encode_probe(monkeypatch):
     monkeypatch.setattr(pr, "_ENC_PROBE_OK", None)
     assert pr.probe_enc() is True
+
+
+def test_probes_inside_jit_trace(monkeypatch):
+    """The probes are reached lazily from the GAUSS_IMPL dispatch, i.e.
+    INSIDE an active jit trace (first compress/decompress call traces
+    encode_all/decode_gauss, whose body consults probe()). Under
+    omnistaging the probe's own ops would be staged into the caller's
+    jaxpr and its np.asarray pulls would see tracers — which used to
+    raise TracerArrayConversionError, permanently latching the probe
+    False and silently disabling the kernels ON TPU TOO. Pin that each
+    probe evaluates eagerly (ensure_compile_time_eval) and reports the
+    same verdict under a trace as outside one."""
+    for cache, fn in (("_PROBE_OK", pr.probe),
+                      ("_EB_PROBE_OK", pr.probe_eb),
+                      ("_ENC_PROBE_OK", pr.probe_enc)):
+        monkeypatch.setattr(pr, cache, None)
+        outside = fn()
+        monkeypatch.setattr(pr, cache, None)
+        got = {}
+
+        def f(x, fn=fn, got=got):
+            got["val"] = fn()   # runs at trace time, inside the trace
+            return x + 1
+
+        jax.jit(f)(jnp.zeros((2,), jnp.float32))
+        assert got["val"] == outside, cache
+        # on CPU the kernels run in interpret mode: the probe must PASS
+        # (a trace-time failure is exactly the regression this pins)
+        assert got["val"] is True, cache
