@@ -97,6 +97,12 @@ def parse_args(argv=None):
     p.add_argument("--augment", action="store_true",
                    help="dihedral (flip/rotate) crop augmentation; not in "
                         "the reference recipe, useful on small datasets")
+    p.add_argument("--augment-scale", type=float, nargs=2, default=None,
+                   metavar=("LO", "HI"),
+                   help="random-rescale augmentation: resample each source "
+                        "image by a log-uniform factor in [LO, HI] before "
+                        "cropping (e.g. 0.6 1.0), so crops sample several "
+                        "texture scales; not in the reference recipe")
     return p.parse_args(argv)
 
 
@@ -119,7 +125,9 @@ def main(argv=None):
     save_dir.mkdir(parents=True, exist_ok=True)
 
     train_set = ImageFolder(args.dataset, "train", tuple(args.patch_size),
-                            train=True, augment=args.augment)
+                            train=True, augment=args.augment,
+                            scale_range=(tuple(args.augment_scale)
+                                         if args.augment_scale else None))
     test_set = ImageFolder(args.dataset, "test", None, train=False)
     train_loader = DataLoader(train_set, args.batch_size, seed=args.seed,
                               num_workers=args.num_workers)

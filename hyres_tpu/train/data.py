@@ -29,7 +29,8 @@ _EXTS = {".png", ".jpg", ".jpeg", ".bmp"}
 class ImageFolder:
     def __init__(self, root: str, split: str = "train",
                  patch_size: Optional[Tuple[int, int]] = (256, 256),
-                 train: bool = True, augment: bool = False):
+                 train: bool = True, augment: bool = False,
+                 scale_range: Optional[Tuple[float, float]] = None):
         base = Path(root) / split
         if not base.is_dir():
             raise RuntimeError(f"missing dataset split directory: {base}")
@@ -44,12 +45,29 @@ class ImageFolder:
         # RandomCrop only) — off by default for recipe parity; it matters
         # on small training sets where crops repeat across epochs.
         self.augment = augment and train
+        # random-rescale augmentation: resample the source by a factor
+        # drawn log-uniformly from scale_range before cropping, so the
+        # same pixels contribute crops at several texture scales. Also
+        # not in the reference; another data-diversity lever for tiny
+        # training sets. Scales below patch/source are clamped so a
+        # patch always fits.
+        self.scale_range = scale_range if train else None
 
     def __len__(self) -> int:
         return len(self.samples)
 
     def load(self, index: int, rng: np.random.Generator) -> np.ndarray:
         img = Image.open(self.samples[index]).convert("RGB")
+        if self.scale_range is not None and self.patch_size is not None:
+            lo, hi = self.scale_range
+            s = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+            w, h = img.size
+            ph, pw = self.patch_size
+            s = max(s, pw / w, ph / h)  # keep the crop in range
+            if abs(s - 1.0) > 1e-3:
+                img = img.resize((max(pw, int(round(w * s))),
+                                  max(ph, int(round(h * s)))),
+                                 Image.BILINEAR)
         if self.patch_size is not None:
             ph, pw = self.patch_size
             w, h = img.size

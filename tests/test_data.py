@@ -94,3 +94,35 @@ def test_training_eval_every(tmp_path, capsys):
     evaled = sorted(int(l.split()[1].rstrip(":")) for l in lines
                     if "test_loss=" in l)
     assert evaled == [0, 2, 3], lines
+
+
+def test_scale_range_shapes_and_default_identity(tmp_path):
+    """--augment-scale resamples the source before cropping: crops keep
+    the patch shape, differ from the unscaled crop for factors != 1, and
+    scale_range=None stays bit-identical to the plain loader. Eval
+    splits never rescale."""
+    ds = _make_ds(tmp_path)
+    plain = ImageFolder(str(ds), "train", (32, 32), train=True)
+    scaled = ImageFolder(str(ds), "train", (32, 32), train=True,
+                         scale_range=(0.5, 0.999))
+    noop = ImageFolder(str(ds), "train", (32, 32), train=True,
+                       scale_range=None)
+    np.testing.assert_array_equal(plain.load(0, np.random.default_rng(3)),
+                                  noop.load(0, np.random.default_rng(3)))
+    diffs = 0
+    for seed in range(8):
+        a = scaled.load(0, np.random.default_rng(seed))
+        assert a.shape == (32, 32, 3)
+        assert a.dtype == np.float32 and 0.0 <= a.min() and a.max() <= 1.0
+        b = plain.load(0, np.random.default_rng(seed))
+        diffs += int(not np.array_equal(a, b))
+    assert diffs >= 6  # factors < 1 actually resample
+
+    # tiny range fully below patch/source: clamps so the crop still fits
+    tiny = ImageFolder(str(ds), "train", (32, 32), train=True,
+                       scale_range=(0.01, 0.02))
+    assert tiny.load(0, np.random.default_rng(0)).shape == (32, 32, 3)
+
+    ev = ImageFolder(str(ds), "test", None, train=False,
+                     scale_range=(0.5, 0.999))
+    assert ev.scale_range is None
