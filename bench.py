@@ -36,6 +36,48 @@ REFERENCE_TOTAL_S = 0.762  # README.md:120 (encode 0.476 + decode 0.286)
 KODAK = sorted(Path("/root/reference/data/test").glob("kodim*.png"))
 
 
+def _pause_measurement_chain():
+    """If the unattended measurement/training chain (scripts/chainstage.sh)
+    has a stage on the chip, SIGSTOP its process group for the duration
+    of this benchmark so the recorded numbers are idle-chip numbers
+    (round 2's driver bench overlapped a training run and recorded a
+    contaminated batched measurement). A detached resume-insurance timer
+    guarantees the stage continues even if this process dies before its
+    atexit hook runs; the stage's own `timeout` budget absorbs the pause."""
+    import atexit
+    import os
+    import signal
+    import subprocess
+
+    pidfile = Path("/tmp/hyres_chain_stage.pid")
+    if not pidfile.exists():
+        return
+    try:
+        pgid = int(pidfile.read_text().strip())
+        if pgid == os.getpgrp():  # this bench IS the chain stage
+            return
+        os.killpg(pgid, signal.SIGSTOP)
+    except (ValueError, ProcessLookupError, PermissionError, OSError):
+        return
+    print(f"bench: paused measurement-chain stage (pgid {pgid}) "
+          "for an idle-chip measurement", file=sys.stderr)
+    subprocess.Popen(
+        ["sh", "-c", f"sleep 2400; kill -CONT -{pgid} 2>/dev/null"],
+        start_new_session=True, stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL)
+
+    def _resume():
+        try:
+            os.killpg(pgid, signal.SIGCONT)
+            print(f"bench: resumed chain stage (pgid {pgid})",
+                  file=sys.stderr)
+        except (ProcessLookupError, PermissionError, OSError):
+            pass
+
+    atexit.register(_resume)
+    time.sleep(3)  # let the stage's in-flight device programs drain
+
+
 def _load_params(model):
     """Prefer a trained checkpoint (checkpoints/checkpoint_best_* or
     artifacts/hyres_*.msgpack); random init otherwise (timing-only mode —
@@ -77,6 +119,8 @@ def main():
     from PIL import Image
 
     from hyres_tpu.models.hyres import HyresCodec, ResidualJPEGCompression
+
+    _pause_measurement_chain()
 
     model = ResidualJPEGCompression(N=128, M=192, jpeg_quality=1,
                                     compute_dtype=jnp.bfloat16)

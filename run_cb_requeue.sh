@@ -18,7 +18,8 @@ bash run_r3_meas.sh 2>&1 | tee matched_r3/r3_meas.log \
   || echo "!!! run_r3_meas failed ($(date))"
 
 echo "=== retraining checkerboard ($(date))"
-if timeout 14400 python -m hyres_tpu.cli.training -d data/ds --model checkerboard \
+if bash scripts/chainstage.sh timeout 14400 python -m hyres_tpu.cli.training \
+    -d data/ds --model checkerboard \
     --savepath matched_r3/checkerboard $COMMON \
     > matched_r3/checkerboard.log 2>&1; then
   echo "=== checkerboard done ($(date))"

@@ -12,7 +12,8 @@ cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 
 echo "=== long HyRES train: lambda=0.013, augment, 6000 epochs ($(date))"
-timeout 16000 python -m hyres_tpu.cli.training -d data/ds --model hyres \
+bash scripts/chainstage.sh timeout 16000 python -m hyres_tpu.cli.training \
+    -d data/ds --model hyres \
     --savepath matched_r3/hyres_long \
     --jpeg-quality 1 --batch-size 4 --test-batch-size 4 \
     --patch-size 256 256 --alpha 0 --min-lr 1e-6 \
@@ -25,7 +26,7 @@ CKPT=$(ls -t matched_r3/hyres_long/checkpoint_best_*.msgpack 2>/dev/null | head 
 if [ -n "$CKPT" ]; then
   for coder in host tpu; do
     echo "=== held-out eval ($coder) of $CKPT ($(date))"
-    timeout 3600 python -m hyres_tpu.cli.inference \
+    bash scripts/chainstage.sh timeout 3600 python -m hyres_tpu.cli.inference \
         --checkpoint "$CKPT" --model hyres --coder $coder \
         --N 128 --M 192 --jpeg-quality 1 \
         --input data/ds/test --output matched_r3/eval/hyres_long_$coder \

@@ -15,7 +15,8 @@ for fam in checkerboard cheng2020 hyres elic; do
   [ -n "$BEST" ] || { echo "skip $fam (no checkpoint)"; continue; }
   for coder in host tpu; do
     echo "=== eval $fam/$coder: $BEST ($(date))"
-    timeout 5400 python -m hyres_tpu.cli.inference --checkpoint "$BEST" --model $fam \
+    bash scripts/chainstage.sh timeout 5400 python -m hyres_tpu.cli.inference \
+      --checkpoint "$BEST" --model $fam \
       --input data/ds/test --output matched_r3/eval/${fam}_$coder \
       --coder $coder > matched_r3/eval/${fam}_$coder.log 2>&1 \
       || echo "!!! eval $fam/$coder failed ($(date))"

@@ -6,26 +6,30 @@
 #      profiled floor: 4x 5.15 ms/image) vs =merge (dense merge-tree).
 #   2. Re-capture the profile breakdown + bench headline with the winner
 #      (logs let us flip the code default with evidence).
+# Chip stages run under scripts/chainstage.sh so the driver's bench.py
+# can SIGSTOP them for an idle-chip measurement (bench.py invocations
+# are NOT wrapped: bench pauses others, never itself).
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+STAGE="bash scripts/chainstage.sh"
 
 echo "=== gauss v2 on-chip exactness + pallas A/B ($(date))"
-timeout 2400 python scripts/pallas_ab.py 2>&1 | grep -v "^W\|external/" \
+$STAGE timeout 2400 python scripts/pallas_ab.py 2>&1 | grep -v "^W\|external/" \
   | tee matched_r3/pallas_ab.log || true
 
 echo "=== compact A/B microbench ($(date))"
 for mode in nonzero merge; do
   echo "--- HYRES_COMPACT=$mode"
-  HYRES_COMPACT=$mode timeout 1200 python scripts/coder_microbench.py \
+  HYRES_COMPACT=$mode $STAGE timeout 1200 python scripts/coder_microbench.py \
     2>&1 | grep -v "^W\|external/" || true
 done 2>&1 | tee matched_r3/compact_ab.log
 
 echo "=== gauss lane/lowering sweep ($(date))"
-timeout 3600 python scripts/coder_microbench.py --sweep \
+$STAGE timeout 3600 python scripts/coder_microbench.py --sweep \
   2>&1 | grep -v "^W\|external/" | tee matched_r3/lane_sweep.log || true
 
 echo "=== profile breakdown with merge ($(date))"
-HYRES_COMPACT=merge timeout 2400 python scripts/profile_breakdown.py \
+HYRES_COMPACT=merge $STAGE timeout 2400 python scripts/profile_breakdown.py \
   > matched_r3/profile_breakdown_merge.txt 2>&1 || true
 tail -20 matched_r3/profile_breakdown_merge.txt
 
