@@ -49,33 +49,46 @@ def _pause_measurement_chain():
     import signal
     import subprocess
 
-    pidfile = Path("/tmp/hyres_chain_stage.pid")
-    if not pidfile.exists():
+    stagedir = Path("/tmp/hyres_chain_stages")
+    pgids = []
+    for pidfile in sorted(stagedir.glob("*.pid")) if stagedir.is_dir() \
+            else []:
+        try:
+            pgid = int(pidfile.read_text().strip())
+            if pgid == os.getpgrp():  # this bench IS a chain stage
+                continue
+            os.killpg(pgid, signal.SIGSTOP)
+            pgids.append(pgid)
+        except (ValueError, ProcessLookupError, PermissionError, OSError):
+            continue
+    if not pgids:
         return
-    try:
-        pgid = int(pidfile.read_text().strip())
-        if pgid == os.getpgrp():  # this bench IS the chain stage
-            return
-        os.killpg(pgid, signal.SIGSTOP)
-    except (ValueError, ProcessLookupError, PermissionError, OSError):
-        return
-    print(f"bench: paused measurement-chain stage (pgid {pgid}) "
+    print(f"bench: paused measurement-chain stage(s) (pgids {pgids}) "
           "for an idle-chip measurement", file=sys.stderr)
+    # resume insurance: a detached watcher CONTs the stages only AFTER
+    # this bench process has exited (or a 2 h hard cap — by then the
+    # driver's own timeout has long abandoned the measurement), so it
+    # can never resume a stage mid-measurement, yet still recovers the
+    # chain if this process dies without running its atexit hook
+    conts = "; ".join(f"kill -CONT -{p} 2>/dev/null" for p in pgids)
     subprocess.Popen(
-        ["sh", "-c", f"sleep 2400; kill -CONT -{pgid} 2>/dev/null"],
+        ["sh", "-c",
+         f"n=0; while [ $n -lt 7200 ] && kill -0 {os.getpid()} 2>/dev/null;"
+         f" do sleep 5; n=$((n+5)); done; {conts}"],
         start_new_session=True, stdout=subprocess.DEVNULL,
         stderr=subprocess.DEVNULL)
 
     def _resume():
-        try:
-            os.killpg(pgid, signal.SIGCONT)
-            print(f"bench: resumed chain stage (pgid {pgid})",
-                  file=sys.stderr)
-        except (ProcessLookupError, PermissionError, OSError):
-            pass
+        for pgid in pgids:
+            try:
+                os.killpg(pgid, signal.SIGCONT)
+                print(f"bench: resumed chain stage (pgid {pgid})",
+                      file=sys.stderr)
+            except (ProcessLookupError, PermissionError, OSError):
+                pass
 
     atexit.register(_resume)
-    time.sleep(3)  # let the stage's in-flight device programs drain
+    time.sleep(3)  # let the stages' in-flight device programs drain
 
 
 def _load_params(model):

@@ -450,8 +450,8 @@ def main(argv=None):
         # seconds and makes every timed row a warm-model measurement.
         seen = set()
         for f in files:
-            reps = 1 if jnp.asarray(load_image(f)).shape in seen else 2
             x = jnp.asarray(load_image(f))
+            reps = 1 if x.shape in seen else 2
             seen.add(x.shape)
             for _ in range(reps):
                 comp = codec.compress(x)

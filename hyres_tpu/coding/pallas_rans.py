@@ -678,12 +678,20 @@ def _encode_kernel(start_ref, freq_ref, rcp_ref, low_ref, ks_ref,
         if lanes < 128:
             front = jnp.concatenate(
                 [front, jnp.zeros((G, 128 - lanes), front.dtype)], axis=1)
+        Rbuf = stream_ref.shape[1]
         new_wps = []
         for i in range(G):
             cnt = incl[i, lanes - 1].astype(jnp.int32)
             w0 = wp_list[i] - cnt
-            row0 = jnp.maximum(w0 >> 7, 0)   # clamp: overflow -> garbage
-            off = (w0 & 0x7F).reshape(1, 1)  # stream, caught at framing
+            # clamp BOTH ends: w0 < 0 is stream overflow (garbage words,
+            # caught at framing); w0 == cap with cnt == 0 (every sub-step
+            # before the first renorm word) lands row0 on Rbuf - 1 whose
+            # 2-row window would touch row Rbuf — out of bounds on the
+            # Mosaic path (interpret mode clamps silently). The emitted
+            # words are all zero whenever the clamp binds, so adding
+            # them to the clamped window is exact.
+            row0 = jnp.clip(w0 >> 7, 0, Rbuf - 2)
+            off = (w0 & 0x7F).reshape(1, 1)
             placed = _rot_right_2rows(front[i:i + 1], off)  # (1, 2, 128)
             cur = stream_ref[i, pl.ds(row0, 2), :]
             stream_ref[i, pl.ds(row0, 2), :] = (

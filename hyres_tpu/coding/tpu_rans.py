@@ -576,14 +576,11 @@ def rans_decode_batch(stream_b: jax.Array, states_b: jax.Array,
     """(B, ...) batched factorized-prior decode -> (B, n) i32. Same
     lowering dispatch as gauss_decode_batch (GAUSS_IMPL; the EB kernel
     has its own one-shot self-test, pallas_rans.probe_eb)."""
-    if GAUSS_IMPL in ("pallas", "auto"):
-        from . import pallas_rans
-        if pallas_rans.supported(lanes) and (
-                GAUSS_IMPL == "pallas"
-                or _auto_kernel_ok(pallas_rans.probe_eb)):
-            return pallas_rans.eb_decode_batch(
-                stream_b, states_b, idx_b, esc_pos_b, esc_val_b,
-                tables, lanes, n)
+    pk = _kernel_module("probe_eb", lanes)
+    if pk is not None:
+        return pk.eb_decode_batch(
+            stream_b, states_b, idx_b, esc_pos_b, esc_val_b,
+            tables, lanes, n)
     return jax.vmap(
         lambda st, sa, ix, ep, ev: rans_decode(
             st, sa, ix, ep, ev, tables, lanes, n)
@@ -877,6 +874,24 @@ def gauss_decode(stream: jax.Array, states: jax.Array, indexes: jax.Array,
 # ---------------------------------------------------------------------------
 
 
+def _kernel_module(probe_name: str, lanes: int):
+    """The single GAUSS_IMPL dispatch policy shared by all four batched
+    entry points: returns the pallas_rans module iff this call should
+    route through the Mosaic kernel — the lane tier is supported AND
+    either the kernel is forced (GAUSS_IMPL=pallas) or its one-shot
+    on-backend bit-equality self-test passes (=auto). Returns None to
+    take the XLA scan lowering."""
+    if GAUSS_IMPL not in ("pallas", "auto"):
+        return None
+    from . import pallas_rans
+    if not pallas_rans.supported(lanes):
+        return None
+    if GAUSS_IMPL != "pallas" and not _auto_kernel_ok(
+            getattr(pallas_rans, probe_name)):
+        return None
+    return pallas_rans
+
+
 def gauss_encode_batch(sym_b: jax.Array, idx_b: jax.Array,
                        gt: GaussTables, lanes: int):
     """(B, n) batched gaussian encode; per-image output dict stacked on
@@ -884,12 +899,9 @@ def gauss_encode_batch(sym_b: jax.Array, idx_b: jax.Array,
     reverse scan AND the stream compaction in one kernel (backward
     fill); "auto" takes it only after its one-shot bit-equality
     self-test vs the XLA path (pallas_rans.probe_enc)."""
-    if GAUSS_IMPL in ("pallas", "auto"):
-        from . import pallas_rans
-        if pallas_rans.supported(lanes) and (
-                GAUSS_IMPL == "pallas"
-                or _auto_kernel_ok(pallas_rans.probe_enc)):
-            return pallas_rans.gauss_encode_batch(sym_b, idx_b, gt, lanes)
+    pk = _kernel_module("probe_enc", lanes)
+    if pk is not None:
+        return pk.gauss_encode_batch(sym_b, idx_b, gt, lanes)
     return jax.vmap(lambda s, i: gauss_encode(s, i, gt, lanes)
                     )(sym_b, idx_b)
 
@@ -899,12 +911,9 @@ def rans_encode_batch(sym_b: jax.Array, idx_b: jax.Array,
     """(B, n) batched factorized-prior encode; same dispatch as
     gauss_encode_batch (the shared encode kernel's low push degenerates
     to an exact identity for this path)."""
-    if GAUSS_IMPL in ("pallas", "auto"):
-        from . import pallas_rans
-        if pallas_rans.supported(lanes) and (
-                GAUSS_IMPL == "pallas"
-                or _auto_kernel_ok(pallas_rans.probe_enc)):
-            return pallas_rans.eb_encode_batch(sym_b, idx_b, tables, lanes)
+    pk = _kernel_module("probe_enc", lanes)
+    if pk is not None:
+        return pk.eb_encode_batch(sym_b, idx_b, tables, lanes)
     return jax.vmap(lambda s, i: rans_encode(s, i, tables, lanes)
                     )(sym_b, idx_b)
 
@@ -918,14 +927,11 @@ def gauss_decode_batch(stream_b: jax.Array, states_b: jax.Array,
     (all coding arithmetic is exact integer work on both). "auto" takes
     the kernel only after its one-shot bit-exactness self-test passes
     on this backend (pallas_rans.probe)."""
-    if GAUSS_IMPL in ("pallas", "auto"):
-        from . import pallas_rans
-        if pallas_rans.supported(lanes) and (
-                GAUSS_IMPL == "pallas"
-                or _auto_kernel_ok(pallas_rans.probe)):
-            return pallas_rans.gauss_decode_batch(
-                stream_b, states_b, idx_b, esc_pos_b, esc_val_b, gt,
-                lanes, n)
+    pk = _kernel_module("probe", lanes)
+    if pk is not None:
+        return pk.gauss_decode_batch(
+            stream_b, states_b, idx_b, esc_pos_b, esc_val_b, gt,
+            lanes, n)
     return jax.vmap(
         lambda st, sa, ix, ep, ev: gauss_decode(
             st, sa, ix, ep, ev, gt, lanes, n)

@@ -705,16 +705,6 @@ class TpuPlaneCoder:
         self.decode_gauss = decode_gauss
         self.decode_eb = decode_eb
 
-    @staticmethod
-    def gauss_meta(n: int) -> Tuple[int, int]:
-        lanes = min(tpu_rans.GAUSS_LANES, tpu_rans.lanes_for(n))
-        return lanes, tpu_rans.stream_cap(n, lanes, words=2)
-
-    @staticmethod
-    def eb_meta(n: int) -> Tuple[int, int]:
-        lanes = tpu_rans.lanes_for(n)
-        return lanes, tpu_rans.stream_cap(n, lanes)
-
     # -- host-side (un)framing ---------------------------------------------
 
     @staticmethod

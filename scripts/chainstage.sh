@@ -1,15 +1,17 @@
 #!/bin/bash
 # Run a chip-using measurement-chain stage ("$@") in its own process
-# group and record the pgid, so that bench.py (the driver-recorded
-# benchmark) can SIGSTOP the whole stage — timeout wrapper, python,
-# everything — while it measures on an otherwise-idle chip, then
-# SIGCONT it. Round 2's driver bench ran concurrently with a training
-# run and recorded a contaminated batched number (VERDICT r2 weak-#1);
-# this is the mechanism that prevents a repeat.
+# group, recording the pgid under /tmp/hyres_chain_stages/, so that
+# bench.py (the driver-recorded benchmark) can SIGSTOP every live stage
+# while it measures on an otherwise-idle chip, then SIGCONT them.
+# Round 2's driver bench ran concurrently with a training run and
+# recorded a contaminated batched number (VERDICT r2 weak-#1); this is
+# the mechanism that prevents a repeat. One pidfile per stage (named by
+# the stage pgid) keeps concurrent stages from clobbering each other.
+mkdir -p /tmp/hyres_chain_stages
 setsid "$@" &
 pid=$!
-echo $pid > /tmp/hyres_chain_stage.pid
+echo $pid > /tmp/hyres_chain_stages/$pid.pid
 wait $pid
 rc=$?
-rm -f /tmp/hyres_chain_stage.pid
+rm -f /tmp/hyres_chain_stages/$pid.pid
 exit $rc
