@@ -49,6 +49,16 @@ def _pause_measurement_chain():
     import signal
     import subprocess
 
+    # liveness marker so a chain stage STARTING mid-bench holds off
+    # (scripts/chainstage.sh polls this) — pausing only stages that are
+    # already live leaves a start-during-bench race otherwise
+    benchpid = Path("/tmp/hyres_bench.pid")
+    try:
+        benchpid.write_text(str(os.getpid()))
+        atexit.register(lambda: benchpid.unlink(missing_ok=True))
+    except OSError:
+        pass
+
     stagedir = Path("/tmp/hyres_chain_stages")
     pgids = []
     for pidfile in sorted(stagedir.glob("*.pid")) if stagedir.is_dir() \

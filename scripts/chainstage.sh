@@ -7,6 +7,18 @@
 # recorded a contaminated batched number (VERDICT r2 weak-#1); this is
 # the mechanism that prevents a repeat. One pidfile per stage (named by
 # the stage pgid) keeps concurrent stages from clobbering each other.
+#
+# Symmetric guard: if a bench is ALREADY running (it writes
+# /tmp/hyres_bench.pid), hold the stage until it finishes (capped) —
+# pausing live stages can't protect a measurement from a stage that
+# starts mid-bench.
+waited=0
+while [ $waited -lt 3600 ] && [ -f /tmp/hyres_bench.pid ] \
+    && kill -0 "$(cat /tmp/hyres_bench.pid 2>/dev/null)" 2>/dev/null; do
+  sleep 5
+  waited=$((waited + 5))
+done
+
 mkdir -p /tmp/hyres_chain_stages
 setsid "$@" &
 pid=$!
