@@ -159,12 +159,12 @@ def _emit_cached_result() -> bool:
     labeled CACHED in the unit string (never silently presented as a
     fresh measurement), instead of crashing and losing the round's
     bench. Returns False if no cached capture exists."""
-    for cand in ("matched_r3/bench_r3_pallas.json",
-                 "matched_r3/bench_r3_merge.json",
-                 "matched_r3/bench_r3.json"):
-        p = Path(cand)
-        if not p.exists():
-            continue
+    cands = [p for p in (Path("matched_r3/bench_r3_pallas.json"),
+                         Path("matched_r3/bench_r3_merge.json"),
+                         Path("matched_r3/bench_r3.json"))
+             if p.exists()]
+    for p in sorted(cands, key=lambda q: q.stat().st_mtime, reverse=True):
+        cand = str(p)
         try:
             rec = json.loads(p.read_text().strip().splitlines()[-1])
         except (ValueError, IndexError):
