@@ -25,6 +25,12 @@ ImageFile.LOAD_TRUNCATED_IMAGES = True
 
 _EXTS = {".png", ".jpg", ".jpeg", ".bmp"}
 
+# decoded-image cache cap: small training sets (the offline Kodak split
+# is 18 images, ~21 MB decoded) re-decode every epoch otherwise — at
+# thousands of epochs that is hours of pure PNG decode on this 1-core
+# host. Big datasets simply stop caching at the cap.
+_CACHE_BYTES_CAP = 1 << 29  # 512 MB
+
 
 class ImageFolder:
     def __init__(self, root: str, split: str = "train",
@@ -52,12 +58,28 @@ class ImageFolder:
         # training sets. Scales below patch/source are clamped so a
         # patch always fits.
         self.scale_range = scale_range if train else None
+        self._cache: dict = {}
+        self._cache_bytes = 0
 
     def __len__(self) -> int:
         return len(self.samples)
 
-    def load(self, index: int, rng: np.random.Generator) -> np.ndarray:
+    def _open(self, index: int) -> Image.Image:
+        """Decoded source image; full-resolution RGB u8 arrays are cached
+        up to _CACHE_BYTES_CAP (dict ops are GIL-atomic; a rare duplicate
+        decode under the thread pool is harmless)."""
+        hit = self._cache.get(index)
+        if hit is not None:
+            return Image.fromarray(hit)
         img = Image.open(self.samples[index]).convert("RGB")
+        arr = np.asarray(img, np.uint8)
+        if self._cache_bytes + arr.nbytes <= _CACHE_BYTES_CAP:
+            self._cache[index] = arr
+            self._cache_bytes += arr.nbytes
+        return img
+
+    def load(self, index: int, rng: np.random.Generator) -> np.ndarray:
+        img = self._open(index)
         if self.scale_range is not None and self.patch_size is not None:
             lo, hi = self.scale_range
             s = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))

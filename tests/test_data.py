@@ -126,3 +126,21 @@ def test_scale_range_shapes_and_default_identity(tmp_path):
     ev = ImageFolder(str(ds), "test", None, train=False,
                      scale_range=(0.5, 0.999))
     assert ev.scale_range is None
+
+
+def test_decode_cache_is_transparent(tmp_path):
+    """The in-memory decode cache must change timings only: same pixels
+    as the uncached path for the same rng stream, and it must respect
+    the byte cap (stop caching, never evict wrongly)."""
+    ds_root = _make_ds(tmp_path)
+    a = ImageFolder(str(ds_root), "train", (32, 32), train=True)
+    first = a.load(0, np.random.default_rng(3))
+    assert a._cache_bytes > 0  # cached on first touch
+    second = a.load(0, np.random.default_rng(3))
+    assert np.array_equal(first, second)
+
+    b = ImageFolder(str(ds_root), "train", (32, 32), train=True)
+    b._cache_bytes = 1 << 60  # poison: cap always exceeded -> no caching
+    uncached = b.load(0, np.random.default_rng(3))
+    assert np.array_equal(first, uncached)
+    assert not b._cache
