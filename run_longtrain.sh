@@ -18,7 +18,7 @@ bash scripts/chainstage.sh timeout 16000 python -m hyres_tpu.cli.training \
     --jpeg-quality 1 --batch-size 4 --test-batch-size 4 \
     --patch-size 256 256 --alpha 0 --min-lr 1e-6 \
     -e 6000 --noise-epochs 2400 --lambda 0.013 \
-    --augment --eval-every 10 --save-every 50 \
+    --augment --augment-scale 0.6 1.0 --eval-every 10 --save-every 50 \
     > matched_r3/hyres_long.log 2>&1 \
   || echo "!!! long train ended early ($(date)) — evaluating last checkpoint"
 
