@@ -14,6 +14,28 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
+def _skip_if_real_bench_or_stage_live():
+    """These tests spawn/stop real chainstage process groups and touch the
+    shared /tmp pidfiles. If an ACTUAL bench or chain stage is live on this
+    host (e.g. the unattended measurement chain), the stage-start hold-off
+    in chainstage.sh deadlocks the test and the cleanup below would clobber
+    foreign pidfiles — skip instead of interfering."""
+    import pytest
+
+    benchpid = Path("/tmp/hyres_bench.pid")
+    try:
+        if benchpid.exists() and _stat(int(benchpid.read_text())):
+            pytest.skip("a real bench.py is live on this host")
+    except ValueError:
+        pass
+    for f in Path("/tmp/hyres_chain_stages").glob("*.pid"):
+        try:
+            if _stat(int(f.read_text())):
+                pytest.skip("a real chain stage is live on this host")
+        except ValueError:
+            pass
+
+
 def _load_pause():
     spec = importlib.util.spec_from_file_location(
         "benchmod", REPO / "bench.py")
@@ -29,6 +51,7 @@ def _stat(pid: int) -> str:
 
 
 def test_pause_stops_and_atexit_resumes_stages():
+    _skip_if_real_bench_or_stage_live()
     stages = []
     try:
         for _ in range(2):
@@ -75,6 +98,7 @@ def test_pause_stops_and_atexit_resumes_stages():
 
 def test_pause_noop_without_stages():
     # no stage dir/pidfiles -> returns without error, registers nothing
+    _skip_if_real_bench_or_stage_live()
     for f in Path("/tmp/hyres_chain_stages").glob("*.pid"):
         f.unlink()
     _load_pause()()
