@@ -59,6 +59,24 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _to_f32(x: jax.Array) -> jax.Array:
+    """Mosaic-safe cast to f32: this chip's Mosaic backend rejects
+    uint32 -> float32 (probe: 'Unsupported cast: uint32 -> float32'),
+    so route through int32 (every value cast in these kernels is a
+    16/17-bit coder quantity — exact in int32) and lower bools as a
+    select instead of a cast."""
+    if x.dtype == jnp.bool_:
+        return jnp.where(x, jnp.float32(1.0), jnp.float32(0.0))
+    if x.dtype == jnp.float32:
+        return x
+    return x.astype(jnp.int32).astype(jnp.float32)
+
+
+def _f32_to_u32(x: jax.Array) -> jax.Array:
+    """Mosaic-safe f32 -> u32 via int32 (values here are < 2^31)."""
+    return x.astype(jnp.int32).astype(jnp.uint32)
+
+
 def _shift_right_zeros(x: jax.Array, d: int) -> jax.Array:
     """(G, W) -> shifted right along lanes by static d, zero fill."""
     if d == 0:
@@ -122,7 +140,7 @@ def _read_renorm(state, ptr_list, stream_ref, G: int, lanes: int, R):
     to `lanes` (reads are consecutive from ptr, and at most lanes <= 128
     of them happen per round)."""
     need = state < tr.RENORM_BASE
-    need_f = need.astype(jnp.float32)
+    need_f = _to_f32(need)
     rank_f, incl = _ladder_prefix(need_f, lanes)
     win_a, win_b, o_list = [], [], []
     for i in range(G):
@@ -140,8 +158,8 @@ def _read_renorm(state, ptr_list, stream_ref, G: int, lanes: int, R):
     b = jnp.concatenate(win_b, axis=0)
     o_col = jnp.stack(o_list).reshape(G, 1) & 0x7F
     win = _funnel_rot(a, b, o_col, 128)[:, :lanes]
-    read = _route_monotone_rows(
-        win.astype(jnp.float32), rank_f, lanes).astype(jnp.uint32)
+    read = _f32_to_u32(_route_monotone_rows(
+        _to_f32(win), rank_f, lanes))
     state = jnp.where(need, (state << 16) | read, state)
     new_ptrs = [ptr_list[i] + incl[i, lanes - 1].astype(jnp.int32)
                 for i in range(G)]
@@ -174,8 +192,8 @@ def _decode_kernel(row_ref, tab_ref, stream_ref, states_ref, out_ref,
 
     def body(t, _):
         row = row_ref[:, pl.ds(t, 1), :].reshape(G, lanes)   # i32
-        oh = (row[..., None] == jax.lax.broadcasted_iota(
-            jnp.int32, (G, lanes, rows), 2)).astype(jnp.float32)
+        oh = _to_f32(row[..., None] == jax.lax.broadcasted_iota(
+            jnp.int32, (G, lanes, rows), 2))
         fetched = jax.lax.dot_general(
             oh.reshape(G * lanes, rows), tab,
             (((1,), (0,)), ((), ())),
@@ -191,17 +209,17 @@ def _decode_kernel(row_ref, tab_ref, stream_ref, states_ref, out_ref,
         state = st_scr[...]                          # (G, lanes) u32
         # pop HIGH: h = rank of slot among the row bounds
         slot = state & 0xFFFF
-        slot_f = slot.astype(jnp.float32)
+        slot_f = _to_f32(slot)
         is_esc = slot_f >= tr.GAUSS_B
         le = rowvals <= slot_f[..., None]
-        h = jnp.sum(le.astype(jnp.float32), -1).astype(jnp.int32) - 1
+        h = jnp.sum(_to_f32(le), -1).astype(jnp.int32) - 1
         b0 = jnp.max(jnp.where(le, rowvals, 0.0), -1)
         b1 = jnp.min(jnp.where(le, jnp.float32(65536.0), rowvals), -1)
         start = jnp.where(is_esc, jnp.float32(tr.GAUSS_B), b0)
         freq = jnp.where(is_esc, jnp.float32(65536.0), b1) - start
         h = jnp.where(is_esc, 0, h)
-        state = (freq.astype(jnp.uint32) * (state >> 16)
-                 + (slot - start.astype(jnp.uint32)))
+        state = (_f32_to_u32(freq) * (state >> 16)
+                 + (slot - _f32_to_u32(start)))
         ptrs = [ptr_scr[i] for i in range(G)]
         state, ptrs = read_renorm(state, ptrs)
         # pop LOW (k uniform bits; k = 0 rows are an exact identity)
@@ -431,8 +449,8 @@ def _eb_decode_kernel(row_ref, tab_ref, stream_ref, states_ref, out_ref,
 
     def body(t, _):
         row = row_ref[:, pl.ds(t, 1), :].reshape(G, lanes)   # i32
-        oh = (row[..., None] == jax.lax.broadcasted_iota(
-            jnp.int32, (G, lanes, rows), 2)).astype(jnp.float32)
+        oh = _to_f32(row[..., None] == jax.lax.broadcasted_iota(
+            jnp.int32, (G, lanes, rows), 2))
         fetched = jax.lax.dot_general(
             oh.reshape(G * lanes, rows), tab,
             (((1,), (0,)), ((), ())),
@@ -444,14 +462,14 @@ def _eb_decode_kernel(row_ref, tab_ref, stream_ref, states_ref, out_ref,
 
         state = st_scr[...]                          # (G, lanes) u32
         slot = state & 0xFFFF
-        slot_f = slot.astype(jnp.float32)
+        slot_f = _to_f32(slot)
         le = rowvals <= slot_f[..., None]
-        v = jnp.sum(le.astype(jnp.float32), -1).astype(jnp.int32) - 1
+        v = jnp.sum(_to_f32(le), -1).astype(jnp.int32) - 1
         start = jnp.max(jnp.where(le, rowvals, 0.0), -1)
         b1 = jnp.min(jnp.where(le, jnp.float32(1 << 17), rowvals), -1)
         freq = b1 - start
-        state = (freq.astype(jnp.uint32) * (state >> 16)
-                 + (slot - start.astype(jnp.uint32)))
+        state = (_f32_to_u32(freq) * (state >> 16)
+                 + (slot - _f32_to_u32(start)))
         ptrs = [ptr_scr[i] for i in range(G)]
         state, ptrs = _read_renorm(state, ptrs, stream_ref, G, lanes, R)
         st_scr[...] = state
@@ -626,7 +644,8 @@ def _scatter_front(x: jax.Array, rank_f: jax.Array, need_f: jax.Array,
     """out[g, p] = x[g, j] where j is the p-th masked lane (exact:
     one contributor per position, one-hot sum)."""
     pos = jax.lax.broadcasted_iota(jnp.float32, (1, 1, lanes), 2)
-    oh = ((rank_f[:, :, None] == pos) * need_f[:, :, None])
+    oh = jnp.where(rank_f[:, :, None] == pos, need_f[:, :, None],
+                   jnp.float32(0.0))
     return jnp.sum(oh * x[:, :, None], axis=1)       # (G, lanes)
 
 
@@ -671,9 +690,9 @@ def _encode_kernel(start_ref, freq_ref, rcp_ref, low_ref, ks_ref,
     def write_words(emit, need, wp_list):
         """Place this sub-step's masked emit words at [wp-count, wp) of
         each image's stream (backwards fill; see module comment)."""
-        need_f = need.astype(jnp.float32)
+        need_f = _to_f32(need)
         rank_f, incl = _ladder_prefix(need_f, lanes)
-        front = _scatter_front(emit.astype(jnp.float32), rank_f, need_f,
+        front = _scatter_front(_to_f32(emit), rank_f, need_f,
                                lanes)                 # (G, lanes) f32
         if lanes < 128:
             front = jnp.concatenate(
@@ -696,7 +715,7 @@ def _encode_kernel(start_ref, freq_ref, rcp_ref, low_ref, ks_ref,
             cur = stream_ref[i, pl.ds(row0, 2), :]
             stream_ref[i, pl.ds(row0, 2), :] = (
                 cur.reshape(2, 128)
-                + placed.reshape(2, 128).astype(jnp.uint32))
+                + _f32_to_u32(placed.reshape(2, 128)))
             new_wps.append(w0)
         return new_wps
 
