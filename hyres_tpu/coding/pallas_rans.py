@@ -110,7 +110,10 @@ def _route_monotone_rows(win: jax.Array, rank: jax.Array,
     (exclusive prefix of a 0/1 mask). Same butterfly argument as
     tpu_rans._route_monotone, vectorized over sublane rows."""
     G = win.shape[0]
-    d = jax.lax.broadcasted_iota(jnp.float32, (G, lanes), 1) - rank
+    # int iota then convert: Mosaic's tpu.iota is integer-only (f32 iota
+    # fails verification — BENCH_r03 probe_eb tail)
+    d = jax.lax.broadcasted_iota(jnp.int32, (G, lanes), 1
+                                 ).astype(jnp.float32) - rank
     x = win
     b = 1 << (lanes.bit_length() - 2) if lanes > 1 else 0
     while b >= 1:
@@ -149,10 +152,12 @@ def _read_renorm(state, ptr_list, stream_ref, G: int, lanes: int, R):
         # past the block (real pointers satisfy r <= R - 2 because the
         # stream rows carry +2 rows of zero padding)
         r = jnp.minimum(jax.lax.shift_right_logical(p, 7), R - 2)
-        win2 = stream_ref[i, pl.ds(r, 2), :]         # (1, 2, 128) u32
-        win2 = win2.reshape(2, 128)
-        win_a.append(win2[0:1])
-        win_b.append(win2[1:2])
+        # two separate 1-row reads, NOT win2[0:1]/win2[1:2] of one
+        # (2, 128) read: the row-1 slice carries sublane offset 1 into
+        # the funnel concats, which Mosaic rejects ('result/input offset
+        # mismatch on non-concat dimension' — r4 probe log)
+        win_a.append(stream_ref[i, pl.ds(r, 1), :].reshape(1, 128))
+        win_b.append(stream_ref[i, pl.ds(r + 1, 1), :].reshape(1, 128))
         o_list.append(p)
     a = jnp.concatenate(win_a, axis=0)               # (G, 128)
     b = jnp.concatenate(win_b, axis=0)
@@ -342,17 +347,21 @@ def _probe_body() -> bool:
     idx = rng.integers(0, 64, (1, n)).astype(np.int32)
     sym = np.clip(np.round(rng.normal(0, st[idx])), -30000, 30000
                   ).astype(np.int32)
-    enc = tr.gauss_encode_batch(jnp.asarray(sym), jnp.asarray(idx),
-                                gt, lanes)
+    # jit both halves: eagerly these are hundreds of per-primitive
+    # compiles, each a ~0.4 s round-trip through the axon tunnel (the
+    # round-3/4 "probe takes 25 min" failure mode). The XLA encoder is
+    # used explicitly as the reference (no nested kernel dispatch).
+    enc = jax.jit(jax.vmap(lambda s, i: tr.gauss_encode(s, i, gt, lanes))
+                  )(jnp.asarray(sym), jnp.asarray(idx))
     f = tr.frame_plane(
         np.asarray(enc["states"][0]), np.asarray(enc["stream"][0]),
         int(enc["n_renorm"][0]), np.asarray(enc["esc_pos"][0]),
         np.asarray(enc["esc_val"][0]), int(enc["n_esc"][0]))
     _, states, stream, ep, ev = tr.unframe_plane(f, n)
-    dec = gauss_decode_batch(
+    dec = jax.jit(lambda st_, sb, ib, ep_, ev_: gauss_decode_batch(
+        st_, sb, ib, ep_, ev_, gt, lanes, n))(
         jnp.asarray(stream[None]), jnp.asarray(states[None]),
-        jnp.asarray(idx), jnp.asarray(ep[None]), jnp.asarray(ev[None]),
-        gt, lanes, n)
+        jnp.asarray(idx), jnp.asarray(ep[None]), jnp.asarray(ev[None]))
     return bool(np.array_equal(np.asarray(dec), sym))
 
 
@@ -583,17 +592,19 @@ def _probe_eb_body() -> bool:
     idx = rng.integers(0, C, (1, n)).astype(np.int32)
     sym = np.clip(rng.normal(0, 4, (1, n)).round(), -15, 14
                   ).astype(np.int32)
-    enc = jax.vmap(lambda s, i: tr.rans_encode(s, i, tables, lanes)
-                   )(jnp.asarray(sym), jnp.asarray(idx))
+    # jit both halves (see _probe_body: eager per-primitive dispatch
+    # through the tunnel costs ~0.4 s per op)
+    enc = jax.jit(jax.vmap(lambda s, i: tr.rans_encode(s, i, tables, lanes))
+                  )(jnp.asarray(sym), jnp.asarray(idx))
     f = tr.frame_plane(
         np.asarray(enc["states"][0]), np.asarray(enc["stream"][0]),
         int(enc["n_renorm"][0]), np.asarray(enc["esc_pos"][0]),
         np.asarray(enc["esc_val"][0]), int(enc["n_esc"][0]))
     _, states, stream, ep, ev = tr.unframe_plane(f, n)
-    dec = eb_decode_batch(
+    dec = jax.jit(lambda st_, sb, ib, ep_, ev_: eb_decode_batch(
+        st_, sb, ib, ep_, ev_, tables, lanes, n))(
         jnp.asarray(stream[None]), jnp.asarray(states[None]),
-        jnp.asarray(idx), jnp.asarray(ep[None]), jnp.asarray(ev[None]),
-        tables, lanes, n)
+        jnp.asarray(idx), jnp.asarray(ep[None]), jnp.asarray(ev[None]))
     return bool(np.array_equal(np.asarray(dec), sym))
 
 
@@ -643,7 +654,8 @@ def _scatter_front(x: jax.Array, rank_f: jax.Array, need_f: jax.Array,
                    lanes: int) -> jax.Array:
     """out[g, p] = x[g, j] where j is the p-th masked lane (exact:
     one contributor per position, one-hot sum)."""
-    pos = jax.lax.broadcasted_iota(jnp.float32, (1, 1, lanes), 2)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lanes), 2
+                                   ).astype(jnp.float32)
     oh = jnp.where(rank_f[:, :, None] == pos, need_f[:, :, None],
                    jnp.float32(0.0))
     return jnp.sum(oh * x[:, :, None], axis=1)       # (G, lanes)
@@ -910,10 +922,11 @@ def _probe_enc_body() -> bool:
     sym = np.clip(np.round(rng.normal(0, st[idx])), -30000, 30000
                   ).astype(np.int32)
     sym[0, :2] = [31000, -31000]
-    ref = jax.vmap(lambda s, i: tr.gauss_encode(s, i, gt, lanes)
-                   )(jnp.asarray(sym), jnp.asarray(idx))
-    out = gauss_encode_batch(jnp.asarray(sym), jnp.asarray(idx),
-                             gt, lanes)
+    # jit both paths (see _probe_body on eager tunnel dispatch cost)
+    ref = jax.jit(jax.vmap(lambda s, i: tr.gauss_encode(s, i, gt, lanes))
+                  )(jnp.asarray(sym), jnp.asarray(idx))
+    out = jax.jit(lambda s, i: gauss_encode_batch(s, i, gt, lanes)
+                  )(jnp.asarray(sym), jnp.asarray(idx))
     return all(
         np.array_equal(np.asarray(ref[k]), np.asarray(out[k]))
         for k in ("states", "stream", "n_renorm", "esc_pos",

@@ -144,19 +144,26 @@ def _div_u32_by_u16(state: jax.Array, freq: jax.Array,
     quotient. ~40 cheap vector ops, no data-dependent latency.
     rcp = 1.0 / freq (f32), precomputed outside the serial chain.
     """
+    one = jnp.uint32(1)
+    zero = jnp.uint32(0)
     q = jnp.zeros_like(state)
     r = jnp.zeros_like(state)
     for shift in (24, 16, 8, 0):
         acc = (r << 8) | ((state >> shift) & 0xFF)
-        qi = (acc.astype(jnp.float32) * rcp).astype(jnp.uint32)
+        # every cast routes through int32: this chip's Mosaic backend has
+        # no uint32<->float32 conversion ('Unsupported cast: uint32 ->
+        # float32', BENCH_r03), and acc < 2^24 is exact in int32. Same
+        # bits on the XLA lowering.
+        acc_f = acc.astype(jnp.int32).astype(jnp.float32)
+        qi = (acc_f * rcp).astype(jnp.int32).astype(jnp.uint32)
         # correction: f32 estimate is within +/-2 of the exact quotient
         for _ in range(2):
             over = qi * freq > acc
-            qi = qi - over.astype(jnp.uint32)
+            qi = qi - jnp.where(over, one, zero)
         ri = acc - qi * freq
         for _ in range(2):
             under = ri >= freq
-            qi = qi + under.astype(jnp.uint32)
+            qi = qi + jnp.where(under, one, zero)
             ri = ri - jnp.where(under, freq, jnp.zeros_like(freq))
         q = (q << 8) | qi
         r = ri
