@@ -9,31 +9,101 @@ vs_baseline = reference_total / ours, i.e. the speedup over the
 reference's published HyRES total of 0.762 s (0.476 enc + 0.286 dec,
 /root/reference/README.md:120); >1 is faster.
 
-Side info (stderr): bpp/PSNR of the timed configuration, per-image times,
-the host-coder latency for comparison, and a batched throughput mode
-(all same-orientation Kodak images as one batch -> s/image).
+Budget discipline (round-3 post-mortem: the driver bench timed out with
+no JSON captured because side-info ran before the headline): the
+headline JSON is printed IMMEDIATELY after the timed roundtrips; all
+side-info (host-coder comparison, batched/streamed modes) runs after it
+and is deadline-guarded. A watchdog thread enforces an internal
+deadline (HYRES_BENCH_DEADLINE_S, default 480 s): if the fresh
+measurement has not produced its JSON by then (e.g. a cold compile
+through the tunnel), the most recent on-chip capture is emitted —
+explicitly labeled CACHED — and the process exits 0 so the driver
+records a number instead of rc=124.
+
+Side info (stderr): bpp/PSNR of the timed configuration, per-image
+times, host-coder latency, batched throughput, streamed serving.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 from pathlib import Path
 
 import jax
 
 # persistent compile cache: first compiles through the TPU tunnel take
-# minutes; cached reruns are seconds
+# minutes; cached reruns are seconds. scripts/bench_warm.sh pre-warms it.
 jax.config.update("jax_compilation_cache_dir",
                   str(Path(__file__).parent / ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_TOTAL_S = 0.762  # README.md:120 (encode 0.476 + decode 0.286)
 KODAK = sorted(Path("/root/reference/data/test").glob("kodim*.png"))
+
+START = time.time()
+# deadline for getting the headline JSON out (driver budgets are finite;
+# round 3 lost its capture to an unbounded pre-JSON phase)
+DEADLINE_S = float(os.environ.get("HYRES_BENCH_DEADLINE_S", "480"))
+# total budget incl. side-info; after this the process exits 0 (the
+# headline, if fresh, is already on stdout)
+TOTAL_BUDGET_S = float(os.environ.get("HYRES_BENCH_TOTAL_S", "1500"))
+
+_json_emitted = threading.Event()
+# cleanup state the watchdog must handle on os._exit (atexit is skipped)
+_paused_pgids: list[int] = []
+_benchpid = Path("/tmp/hyres_bench.pid")
+
+
+def _emit(rec: dict) -> None:
+    """Print the headline JSON line (the one the driver records)."""
+    print(json.dumps(rec), flush=True)
+    _json_emitted.set()
+
+
+def _cleanup_for_exit() -> None:
+    import signal
+    for pgid in _paused_pgids:
+        try:
+            os.killpg(pgid, signal.SIGCONT)
+        except (ProcessLookupError, PermissionError, OSError):
+            pass
+    try:
+        _benchpid.unlink(missing_ok=True)
+    except OSError:
+        pass
+
+
+def _watchdog() -> None:
+    """Deadline enforcement that works even while the main thread is
+    stuck inside a blocking XLA compile (which no signal/alarm can
+    interrupt): emit the cached capture and hard-exit."""
+    left = DEADLINE_S - (time.time() - START)
+    if left > 0:
+        _json_emitted.wait(left)
+    if not _json_emitted.is_set():
+        print(f"bench: internal deadline ({DEADLINE_S:.0f}s) hit before a "
+              "fresh measurement completed — emitting cached capture",
+              file=sys.stderr, flush=True)
+        emitted = _emit_cached_result(
+            f"fresh measurement exceeded the {DEADLINE_S:.0f}s internal "
+            "deadline (cold compile?)")
+        _cleanup_for_exit()
+        os._exit(0 if emitted else 3)
+    # headline is out; bound the side-info phase so rc=0 is guaranteed
+    left = TOTAL_BUDGET_S - (time.time() - START)
+    if left > 0:
+        time.sleep(left)
+    print("bench: total budget reached after headline; exiting clean",
+          file=sys.stderr, flush=True)
+    _cleanup_for_exit()
+    os._exit(0)
 
 
 def _pause_measurement_chain():
@@ -45,17 +115,15 @@ def _pause_measurement_chain():
     guarantees the stage continues even if this process dies before its
     atexit hook runs; the stage's own `timeout` budget absorbs the pause."""
     import atexit
-    import os
     import signal
     import subprocess
 
     # liveness marker so a chain stage STARTING mid-bench holds off
     # (scripts/chainstage.sh polls this) — pausing only stages that are
     # already live leaves a start-during-bench race otherwise
-    benchpid = Path("/tmp/hyres_bench.pid")
     try:
-        benchpid.write_text(str(os.getpid()))
-        atexit.register(lambda: benchpid.unlink(missing_ok=True))
+        _benchpid.write_text(str(os.getpid()))
+        atexit.register(lambda: _benchpid.unlink(missing_ok=True))
     except OSError:
         pass
 
@@ -73,6 +141,7 @@ def _pause_measurement_chain():
             continue
     if not pgids:
         return
+    _paused_pgids.extend(pgids)
     print(f"bench: paused measurement-chain stage(s) (pgids {pgids}) "
           "for an idle-chip measurement", file=sys.stderr)
     # resume insurance: a detached watcher CONTs the stages only AFTER
@@ -138,7 +207,7 @@ def _roundtrip_stats(codec, x):
     return dt, nbytes * 8 / num_px, -10 * np.log10(mse)
 
 
-def _tpu_reachable(timeout_s: int = 240) -> bool:
+def _tpu_reachable(timeout_s: int = 120) -> bool:
     """Probe the axon tunnel in a bounded subprocess (an in-process
     jax.devices() can hang for minutes when the tunnel is down, and its
     failure poisons the backend for the whole process)."""
@@ -154,15 +223,13 @@ def _tpu_reachable(timeout_s: int = 240) -> bool:
         return False
 
 
-def _emit_cached_result() -> bool:
-    """TPU unreachable: emit the most recent ON-CHIP capture, explicitly
-    labeled CACHED in the unit string (never silently presented as a
-    fresh measurement), instead of crashing and losing the round's
-    bench. Returns False if no cached capture exists."""
-    cands = [p for p in (Path("matched_r3/bench_r3_pallas.json"),
-                         Path("matched_r3/bench_r3_merge.json"),
-                         Path("matched_r3/bench_r3.json"))
-             if p.exists()]
+def _emit_cached_result(reason: str) -> bool:
+    """Emit the most recent ON-CHIP capture, explicitly labeled CACHED in
+    the unit string (never silently presented as a fresh measurement),
+    instead of crashing and losing the round's bench. Returns False if
+    no cached capture exists."""
+    cands = [p for p in Path(".").glob("matched_r*/bench*.json")
+             if p.stat().st_size > 0]
     for p in sorted(cands, key=lambda q: q.stat().st_mtime, reverse=True):
         cand = str(p)
         try:
@@ -172,12 +239,11 @@ def _emit_cached_result() -> bool:
         if "value" not in rec:
             continue
         rec["unit"] = (f"{rec.get('unit', 's')} [CACHED from {cand}: "
-                       "axon TPU tunnel unreachable at bench time; this "
-                       "is the most recent real on-chip capture, not a "
-                       "fresh measurement]")
-        print("bench: TPU tunnel unreachable — emitting the cached "
-              f"on-chip capture from {cand}", file=sys.stderr)
-        print(json.dumps(rec))
+                       f"{reason}; this is the most recent real on-chip "
+                       "capture, not a fresh measurement]")
+        print(f"bench: emitting the cached on-chip capture from {cand} "
+              f"({reason})", file=sys.stderr)
+        _emit(rec)
         return True
     return False
 
@@ -187,8 +253,10 @@ def main():
 
     from hyres_tpu.models.hyres import HyresCodec, ResidualJPEGCompression
 
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     if not _tpu_reachable():
-        if _emit_cached_result():
+        if _emit_cached_result("axon TPU tunnel unreachable at bench time"):
             return
         print("bench: TPU unreachable and no cached capture; "
               "continuing on the default backend", file=sys.stderr)
@@ -234,105 +302,117 @@ def main():
 
     stats = [_roundtrip_stats(codec, x) for x in imgs]
     times, bpps, psnrs = (list(t) for t in zip(*stats))
-    print(f"bench side-info: tpu-coder bpp={np.mean(bpps):.4f} "
-          f"psnr={np.mean(psnrs):.2f} "
-          f"per-image times={['%.3f' % t for t in times]}", file=sys.stderr)
 
-    # side-info sections are best-effort: they must NEVER prevent the
-    # JSON line the driver records (a batched-mode compile OOM did once)
-    try:
-        # host-coder comparison on the SAME images and the SAME (bf16)
-        # model as the timed configuration — round 2 compared 3 host
-        # images against 6 tpu images and the bpp delta was misread as a
-        # TPU-coder rate penalty (VERDICT r2). The only remaining delta
-        # is coder framing: per-lane state flush vs per-chunk headers.
-        host = HyresCodec(model, params, coder="host")
-        host.update(force=True)
-        for shape in {im.shape for im in imgs}:
-            warm = next(im for im in imgs if im.shape == shape)
-            jax.block_until_ready(host.inference(warm)["x_hat"])
-        hstats = [_roundtrip_stats(host, x) for x in imgs]
-        print(f"bench side-info: host-coder same-images "
-              f"bpp={np.mean([s[1] for s in hstats]):.4f} "
-              f"time={np.mean([s[0] for s in hstats]):.3f}s "
-              f"(tpu-coder bpp delta "
-              f"{(np.mean(bpps) / np.mean([s[1] for s in hstats]) - 1) * 100:+.2f}%)",
-              file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"bench side-info: host-coder comparison failed: {e!r}",
-              file=sys.stderr)
-
-    # batched throughput: 8 same-orientation Kodak images as one batch
-    # (bounded batch: 16+ full-res images can exceed HBM when the chip is
-    # shared with a training run)
-    try:
-        wide = [p for p in KODAK if Image.open(p).size == (768, 512)][:8]
-        if len(wide) >= 4:
-            batch = jnp.asarray(np.stack([
-                np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
-                for p in wide]))
-            # warm TWICE: the first batch call seeds the encode pull's
-            # high-water marks, the second compiles/loads the SPECULATIVE
-            # sliced-pull program — otherwise that lands in the timed call
-            for _ in range(2):
-                jax.block_until_ready(codec.inference(batch)["x_hat"])
-            t0 = time.time()
-            reps = 2
-            for _ in range(reps):
-                rb = codec.inference(batch)
-                jax.block_until_ready(rb["x_hat"])
-            bt = (time.time() - t0) / reps
-            print(f"bench side-info: batched throughput {len(wide)} images "
-                  f"in {bt:.3f}s = {bt / len(wide):.4f} s/image",
-                  file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"bench side-info: batched mode failed: {e!r}", file=sys.stderr)
-
-    # pipelined streaming: single-image roundtrips with image i's pull/
-    # framing overlapping image i+1's device compute (inference_stream)
-    try:
-        codec.inference_stream(imgs, depth=2)  # warm the interleaving
-        t0 = time.time()
-        outs = codec.inference_stream(imgs, depth=2)
-        jax.block_until_ready(outs[-1]["x_hat"])
-        st = (time.time() - t0) / len(imgs)
-        print(f"bench side-info: streamed {len(imgs)} single-image "
-              f"roundtrips = {st:.4f} s/image (depth 2)", file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"bench side-info: streaming mode failed: {e!r}",
-              file=sys.stderr)
-
-    # batched + streamed: pipelined 4-image batches — batching divides
-    # the fixed per-call syncs, streaming hides the survivors behind the
-    # next batch's device compute (the --batch N --stream D CLI mode)
-    try:
-        wide = [p for p in KODAK if Image.open(p).size == (768, 512)][:8]
-        if len(wide) >= 8:
-            bs = [jnp.asarray(np.stack([
-                np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
-                for p in chunk])) for chunk in (wide[:4], wide[4:8])]
-            for _ in range(2):  # hwm seed, then speculative-pull compile
-                jax.block_until_ready(
-                    codec.inference_stream(bs, depth=2)[-1]["x_hat"])
-            t0 = time.time()
-            reps = 2
-            for _ in range(reps):
-                outs = codec.inference_stream(bs, depth=2)
-                jax.block_until_ready(outs[-1]["x_hat"])
-            bst = (time.time() - t0) / reps / 8
-            print(f"bench side-info: batch4+stream2 8 images = "
-                  f"{bst:.4f} s/image", file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"bench side-info: batch+stream mode failed: {e!r}",
-              file=sys.stderr)
-
+    # ---- headline FIRST: this is the line the driver records ----
     value = float(np.mean(times))
-    print(json.dumps({
+    _emit({
         "metric": "hyres_encode_decode_total_per_kodak_image",
         "value": round(value, 4),
         "unit": "s (ref total 0.762s; vs_baseline = ref/ours, >1 faster)",
         "vs_baseline": round(REFERENCE_TOTAL_S / value, 3),
-    }))
+    })
+    print(f"bench side-info: tpu-coder bpp={np.mean(bpps):.4f} "
+          f"psnr={np.mean(psnrs):.2f} "
+          f"per-image times={['%.3f' % t for t in times]}", file=sys.stderr)
+
+    def _left() -> float:
+        return TOTAL_BUDGET_S - (time.time() - START)
+
+    # side-info sections are best-effort AND deadline-guarded: they run
+    # strictly after the recorded JSON and must never push the process
+    # into the driver's timeout (round 3: rc=124, parsed=null)
+    if _left() > 120:
+        try:
+            # host-coder comparison on the SAME images and the SAME (bf16)
+            # model as the timed configuration — round 2 compared 3 host
+            # images against 6 tpu images and the bpp delta was misread as
+            # a TPU-coder rate penalty (VERDICT r2). The only remaining
+            # delta is coder framing: per-lane flush vs per-chunk headers.
+            host = HyresCodec(model, params, coder="host")
+            host.update(force=True)
+            for shape in {im.shape for im in imgs}:
+                warm = next(im for im in imgs if im.shape == shape)
+                jax.block_until_ready(host.inference(warm)["x_hat"])
+            hstats = [_roundtrip_stats(host, x) for x in imgs]
+            print(f"bench side-info: host-coder same-images "
+                  f"bpp={np.mean([s[1] for s in hstats]):.4f} "
+                  f"time={np.mean([s[0] for s in hstats]):.3f}s "
+                  f"(tpu-coder bpp delta "
+                  f"{(np.mean(bpps) / np.mean([s[1] for s in hstats]) - 1) * 100:+.2f}%)",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench side-info: host-coder comparison failed: {e!r}",
+                  file=sys.stderr)
+
+    # batched throughput: 8 same-orientation Kodak images as one batch
+    # (bounded batch: 16+ full-res images can exceed HBM when the chip is
+    # shared with a training run)
+    if _left() > 120:
+        try:
+            wide = [p for p in KODAK if Image.open(p).size == (768, 512)][:8]
+            if len(wide) >= 4:
+                batch = jnp.asarray(np.stack([
+                    np.asarray(Image.open(p).convert("RGB"),
+                               np.float32) / 255.0 for p in wide]))
+                # warm TWICE: the first batch call seeds the encode pull's
+                # high-water marks, the second compiles the SPECULATIVE
+                # sliced-pull program — else that lands in the timed call
+                for _ in range(2):
+                    jax.block_until_ready(codec.inference(batch)["x_hat"])
+                t0 = time.time()
+                reps = 2
+                for _ in range(reps):
+                    rb = codec.inference(batch)
+                    jax.block_until_ready(rb["x_hat"])
+                bt = (time.time() - t0) / reps
+                print(f"bench side-info: batched throughput {len(wide)} "
+                      f"images in {bt:.3f}s = {bt / len(wide):.4f} s/image",
+                      file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench side-info: batched mode failed: {e!r}",
+                  file=sys.stderr)
+
+    # pipelined streaming: single-image roundtrips with image i's pull/
+    # framing overlapping image i+1's device compute (inference_stream)
+    if _left() > 90:
+        try:
+            codec.inference_stream(imgs, depth=2)  # warm the interleaving
+            t0 = time.time()
+            outs = codec.inference_stream(imgs, depth=2)
+            jax.block_until_ready(outs[-1]["x_hat"])
+            st = (time.time() - t0) / len(imgs)
+            print(f"bench side-info: streamed {len(imgs)} single-image "
+                  f"roundtrips = {st:.4f} s/image (depth 2)",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench side-info: streaming mode failed: {e!r}",
+                  file=sys.stderr)
+
+    # batched + streamed: pipelined 4-image batches — batching divides
+    # the fixed per-call syncs, streaming hides the survivors behind the
+    # next batch's device compute (the --batch N --stream D CLI mode)
+    if _left() > 90:
+        try:
+            wide = [p for p in KODAK if Image.open(p).size == (768, 512)][:8]
+            if len(wide) >= 8:
+                bs = [jnp.asarray(np.stack([
+                    np.asarray(Image.open(p).convert("RGB"),
+                               np.float32) / 255.0
+                    for p in chunk])) for chunk in (wide[:4], wide[4:8])]
+                for _ in range(2):  # hwm seed, then speculative-pull compile
+                    jax.block_until_ready(
+                        codec.inference_stream(bs, depth=2)[-1]["x_hat"])
+                t0 = time.time()
+                reps = 2
+                for _ in range(reps):
+                    outs = codec.inference_stream(bs, depth=2)
+                    jax.block_until_ready(outs[-1]["x_hat"])
+                bst = (time.time() - t0) / reps / 8
+                print(f"bench side-info: batch4+stream2 8 images = "
+                      f"{bst:.4f} s/image", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench side-info: batch+stream mode failed: {e!r}",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

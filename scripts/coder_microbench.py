@@ -20,7 +20,7 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir",
                   str(Path(__file__).resolve().parent.parent / ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 import jax.numpy as jnp
 import numpy as np

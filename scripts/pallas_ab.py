@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir",
                   str(Path(__file__).resolve().parent.parent / ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from hyres_tpu.coding import tpu_rans as tr  # noqa: E402

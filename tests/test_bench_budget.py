@@ -1,0 +1,82 @@
+"""bench.py budget discipline (VERDICT r3 missing-#1): the cached-capture
+fallback must pick the newest VALID on-chip capture (0-byte and junk
+artifacts skipped — ADVICE r3: an empty bench_r3_v2.json was committed as
+a result), label it CACHED, and emit it as the driver-recorded JSON line.
+Pure-host logic; no TPU involved."""
+
+import importlib.util
+import io
+import json
+import os
+import sys
+import time
+from contextlib import redirect_stdout
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location("benchmod", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_cached_fallback_picks_newest_valid(tmp_path, monkeypatch):
+    mod = _load_bench()
+    d = tmp_path / "matched_r7"
+    d.mkdir()
+    older = d / "bench_old.json"
+    older.write_text(json.dumps({"metric": "m", "value": 0.5, "unit": "s",
+                                 "vs_baseline": 1.5}) + "\n")
+    bad = d / "bench_bad.json"
+    bad.write_text("not json at all\n")
+    empty = d / "bench_empty.json"
+    empty.write_text("")  # the round-3 failure artifact, 0 bytes
+    newer = d / "bench_new.json"
+    newer.write_text("side info line\n" + json.dumps(
+        {"metric": "m", "value": 0.25, "unit": "s", "vs_baseline": 3.0}) + "\n")
+    now = time.time()
+    os.utime(older, (now - 100, now - 100))
+    os.utime(bad, (now - 1, now - 1))
+    os.utime(empty, (now - 2, now - 2))
+    os.utime(newer, (now - 50, now - 50))
+
+    monkeypatch.chdir(tmp_path)
+    mod._json_emitted.clear()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ok = mod._emit_cached_result("test reason")
+    assert ok
+    rec = json.loads(buf.getvalue().strip().splitlines()[-1])
+    # newest VALID wins: bad (newest) and empty are skipped, newer > older
+    assert rec["value"] == 0.25
+    assert "CACHED" in rec["unit"] and "test reason" in rec["unit"]
+    assert mod._json_emitted.is_set()
+
+
+def test_cached_fallback_returns_false_without_candidates(tmp_path,
+                                                          monkeypatch):
+    mod = _load_bench()
+    monkeypatch.chdir(tmp_path)
+    mod._json_emitted.clear()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ok = mod._emit_cached_result("no captures")
+    assert not ok
+    assert buf.getvalue().strip() == ""
+    assert not mod._json_emitted.is_set()
+
+
+def test_headline_emitted_before_side_info_in_source():
+    """Structural regression guard for the round-3 failure mode: in
+    bench.main() the headline _emit(...) call must appear BEFORE every
+    side-info section (the driver records the last JSON line on stdout;
+    side-info running first ate the round-3 timeout)."""
+    src = (REPO / "bench.py").read_text()
+    main_body = src[src.index("def main():"):]
+    emit_at = main_body.index('_emit({')
+    for marker in ("host-coder comparison", "batched throughput",
+                   "pipelined streaming", "batched + streamed"):
+        assert main_body.index(marker) > emit_at, marker

@@ -22,17 +22,23 @@ def _skip_if_real_bench_or_stage_live():
     foreign pidfiles — skip instead of interfering."""
     import pytest
 
+    # pidfiles can vanish between glob and read (chainstage.sh rm -f on
+    # finish) -> OSError; a recycled PID belonging to an unrelated process
+    # must not latch a permanent skip -> match the command line too
     benchpid = Path("/tmp/hyres_bench.pid")
     try:
-        if benchpid.exists() and _stat(int(benchpid.read_text())):
+        pid = int(benchpid.read_text())
+        if _stat(pid) and "bench.py" in _args(pid):
             pytest.skip("a real bench.py is live on this host")
-    except ValueError:
+    except (ValueError, OSError):
         pass
     for f in Path("/tmp/hyres_chain_stages").glob("*.pid"):
         try:
-            if _stat(int(f.read_text())):
+            pid = int(f.read_text())
+            if _stat(pid) and ("chainstage" in _args(pid)
+                               or "bench.py" in _args(pid)):
                 pytest.skip("a real chain stage is live on this host")
-        except ValueError:
+        except (ValueError, OSError):
             pass
 
 
@@ -47,6 +53,12 @@ def _load_pause():
 def _stat(pid: int) -> str:
     return subprocess.run(
         ["ps", "-o", "stat=", "-p", str(pid)],
+        capture_output=True, text=True).stdout.strip()
+
+
+def _args(pid: int) -> str:
+    return subprocess.run(
+        ["ps", "-o", "args=", "-p", str(pid)],
         capture_output=True, text=True).stdout.strip()
 
 
