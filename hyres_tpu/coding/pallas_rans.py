@@ -661,31 +661,24 @@ def _scatter_front(x: jax.Array, rank_f: jax.Array, need_f: jax.Array,
     return jnp.sum(oh * x[:, :, None], axis=1)       # (G, lanes)
 
 
-def _rot_right_2rows(x: jax.Array, off_col: jax.Array) -> jax.Array:
-    """(G, 128) front-aligned words -> (G, 2, 128) window with the words
+def _rot_right_2rows(x: jax.Array, off_s: jax.Array) -> jax.Array:
+    """(1, 128) front-aligned words -> (2, 128) window with the words
     moved to positions [off, off+count) of the flattened 256 window
-    (zero fill elsewhere). off in [0, 128)."""
-    G = x.shape[0]
-    a = x
-    b = jnp.zeros_like(x)
-    # rotate [a|b] RIGHT by off == rotate LEFT by 256-off; do 7 funnel
-    # rounds shifting right instead (zero fill is fine: the words only
-    # move right, into row b)
-    k = 0
-    while (1 << k) < 128:
-        s = 1 << k
-        a_s = jnp.concatenate([jnp.zeros_like(a[:, :s]), a[:, :-s]], axis=1)
-        b_s = jnp.concatenate([a[:, -s:], b[:, :-s]], axis=1)
-        bit = ((off_col >> k) & 1) > 0
-        a = jnp.where(bit, a_s, a)
-        b = jnp.where(bit, b_s, b)
-        k += 1
-    return jnp.stack([a, b], axis=1)                 # (G, 2, 128)
+    (zero fill elsewhere). off: dynamic SCALAR in [0, 128).
+
+    One hardware lane-rotate + two masked selects (pltpu.roll replaces
+    the former 7-round funnel, which also tripped Mosaic's layout rules
+    on sublane-offset row slices at batch shapes — r4 bench log)."""
+    r = pltpu.roll(x, off_s, axis=1)     # r[0, p] = x[0, (p - off) % 128]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    row0 = jnp.where(lane >= off_s, r, jnp.zeros_like(r))
+    row1 = jnp.where(lane < off_s, r, jnp.zeros_like(r))
+    return jnp.concatenate([row0, row1], axis=0)     # (2, 128)
 
 
 def _encode_kernel(start_ref, freq_ref, rcp_ref, low_ref, ks_ref,
                    stream_ref, states_ref, wp_ref,
-                   st_scr, wp_scr, *, G: int, lanes: int, T: int,
+                   st_scr, wp_scr, fr_scr, *, G: int, lanes: int, T: int,
                    cap: int, NC: int):
     k = pl.program_id(1)
 
@@ -709,6 +702,11 @@ def _encode_kernel(start_ref, freq_ref, rcp_ref, low_ref, ks_ref,
         if lanes < 128:
             front = jnp.concatenate(
                 [front, jnp.zeros((G, 128 - lanes), front.dtype)], axis=1)
+        # round-trip through VMEM scratch: a register row slice
+        # front[i:i+1] carries sublane offset i for i > 0, which Mosaic
+        # rejects downstream ('result/input offset mismatch' at batch
+        # shapes); a memory read of row i is always offset-0.
+        fr_scr[...] = front.reshape(G, 1, 128)
         Rbuf = stream_ref.shape[1]
         new_wps = []
         for i in range(G):
@@ -722,12 +720,11 @@ def _encode_kernel(start_ref, freq_ref, rcp_ref, low_ref, ks_ref,
             # words are all zero whenever the clamp binds, so adding
             # them to the clamped window is exact.
             row0 = jnp.clip(w0 >> 7, 0, Rbuf - 2)
-            off = (w0 & 0x7F).reshape(1, 1)
-            placed = _rot_right_2rows(front[i:i + 1], off)  # (1, 2, 128)
+            front_i = fr_scr[i, :, :].reshape(1, 128)
+            placed = _rot_right_2rows(front_i, w0 & 0x7F)   # (2, 128)
             cur = stream_ref[i, pl.ds(row0, 2), :]
             stream_ref[i, pl.ds(row0, 2), :] = (
-                cur.reshape(2, 128)
-                + _f32_to_u32(placed.reshape(2, 128)))
+                cur.reshape(2, 128) + _f32_to_u32(placed))
             new_wps.append(w0)
         return new_wps
 
@@ -809,6 +806,7 @@ def _encode_call(start, freq, rcp, low, ks, lanes: int, cap: int,
         scratch_shapes=[
             pltpu.VMEM((G, lanes), jnp.uint32),
             pltpu.SMEM((G,), jnp.int32),
+            pltpu.VMEM((G, 1, 128), jnp.float32),
         ],
         interpret=_interpret(),
     )(start, freq, rcp, low, ks)

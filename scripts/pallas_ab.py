@@ -31,11 +31,24 @@ from hyres_tpu.coding import pallas_rans as pr  # noqa: E402
 
 
 def _planes(rng, B, n, wide):
+    """Synthetic planes at TRAINED-plane rates (2-3 bits/sym).
+
+    A uniform draw over all 64 scale bins averages >4 bits/sym and
+    overflows the big-plane stream cap (stream_cap: avg-rate buffer,
+    overflow -> host-coder fallback by design) — that is the fallback
+    path, not the kernel path this script measures. Skew the scale
+    index geometrically toward the low bins like real latents; wide=1
+    still covers every bin (up to sigma 256) plus forced escapes."""
     st = np.exp(np.linspace(np.log(0.11), np.log(256.0), 64))
     hi = 64 if wide else 40
-    idx = rng.integers(0, hi, (B, n)).astype(np.int32)
+    idx = np.minimum(rng.geometric(0.12, (B, n)) - 1, hi - 1
+                     ).astype(np.int32)
     sym = np.clip(np.round(rng.normal(0, st[idx])), -30000, 30000
                   ).astype(np.int32)
+    if wide:  # exercise the escape side-list on every image
+        pos = rng.choice(n, 8, replace=False)
+        sym[:, pos] = rng.integers(20000, 30000, (B, 8)) * \
+            rng.choice([-1, 1], (B, 8))
     return sym, idx
 
 
@@ -99,7 +112,16 @@ def main():
                   f"xla {1e3 * te_x:8.2f} ms  "
                   f"pallas {1e3 * te_p:8.2f} ms  "
                   f"bit-identical={enc_same}", flush=True)
-            stream_b, states_b, ep_b, ev_b = _unframe(enc, B, args.n)
+            try:
+                stream_b, states_b, ep_b, ev_b = _unframe(enc, B, args.n)
+            except OverflowError as e:
+                # avg-rate stream cap exceeded: production falls back to
+                # the host coder at framing time (tpu_rans.frame_plane);
+                # nothing to decode on the device path for this config
+                print(f"B={B} wide={int(wide)}: stream-cap overflow "
+                      f"({e}) -> host-coder fallback case, decode A/B "
+                      "skipped", flush=True)
+                continue
             idx_j = jnp.asarray(idx)
 
             dec_x = jax.jit(lambda st, sa, ix, ep, ev: jax.vmap(
