@@ -55,16 +55,31 @@ DEADLINE_S = float(os.environ.get("HYRES_BENCH_DEADLINE_S", "480"))
 # headline, if fresh, is already on stdout)
 TOTAL_BUDGET_S = float(os.environ.get("HYRES_BENCH_TOTAL_S", "1500"))
 
+# cached-capture search root: anchored at this file (NOT the cwd — a
+# cwd-relative glob silently disabled the fallback when bench ran from
+# another directory, ADVICE r4); tests monkeypatch this
+_CAPTURE_ROOT = Path(__file__).resolve().parent
+
 _json_emitted = threading.Event()
+# serializes headline emission between the main thread and the watchdog:
+# without it, a deadline firing between _emit's print and event.set would
+# let the watchdog print a second, stale CACHED line AFTER the fresh one
+# (the driver records the LAST JSON line) — ADVICE r4
+_emit_lock = threading.Lock()
 # cleanup state the watchdog must handle on os._exit (atexit is skipped)
 _paused_pgids: list[int] = []
 _benchpid = Path("/tmp/hyres_bench.pid")
 
 
-def _emit(rec: dict) -> None:
-    """Print the headline JSON line (the one the driver records)."""
-    print(json.dumps(rec), flush=True)
-    _json_emitted.set()
+def _emit(rec: dict) -> bool:
+    """Print the headline JSON line (the one the driver records).
+    First emission wins; returns False if one was already out."""
+    with _emit_lock:
+        if _json_emitted.is_set():
+            return False
+        _json_emitted.set()
+        print(json.dumps(rec), flush=True)
+        return True
 
 
 def _cleanup_for_exit() -> None:
@@ -88,14 +103,18 @@ def _watchdog() -> None:
     if left > 0:
         _json_emitted.wait(left)
     if not _json_emitted.is_set():
+        # _emit_cached_result goes through _emit, which re-checks the
+        # event under _emit_lock — if the fresh headline wins the race
+        # at this instant, the cached record is NOT printed (ADVICE r4:
+        # the driver records the LAST JSON line)
         print(f"bench: internal deadline ({DEADLINE_S:.0f}s) hit before a "
               "fresh measurement completed — emitting cached capture",
               file=sys.stderr, flush=True)
-        emitted = _emit_cached_result(
+        _emit_cached_result(
             f"fresh measurement exceeded the {DEADLINE_S:.0f}s internal "
             "deadline (cold compile?)")
         _cleanup_for_exit()
-        os._exit(0 if emitted else 3)
+        os._exit(0 if _json_emitted.is_set() else 3)
     # headline is out; bound the side-info phase so rc=0 is guaranteed
     left = TOTAL_BUDGET_S - (time.time() - START)
     if left > 0:
@@ -227,24 +246,38 @@ def _emit_cached_result(reason: str) -> bool:
     """Emit the most recent ON-CHIP capture, explicitly labeled CACHED in
     the unit string (never silently presented as a fresh measurement),
     instead of crashing and losing the round's bench. Returns False if
-    no cached capture exists."""
-    cands = [p for p in Path(".").glob("matched_r*/bench*.json")
-             if p.stat().st_size > 0]
-    for p in sorted(cands, key=lambda q: q.stat().st_mtime, reverse=True):
-        cand = str(p)
-        try:
-            rec = json.loads(p.read_text().strip().splitlines()[-1])
-        except (ValueError, IndexError):
-            continue
-        if "value" not in rec:
-            continue
-        rec["unit"] = (f"{rec.get('unit', 's')} [CACHED from {cand}: "
-                       f"{reason}; this is the most recent real on-chip "
-                       "capture, not a fresh measurement]")
-        print(f"bench: emitting the cached on-chip capture from {cand} "
-              f"({reason})", file=sys.stderr)
-        _emit(rec)
-        return True
+    no cached capture exists.
+
+    ADVICE r4 hardening: the capture glob is anchored at this file's
+    directory (a cwd-relative glob silently disabled the fallback when
+    run from elsewhere); candidates whose unit is already CACHED are
+    skipped (re-emitting a saved cached emission would compound
+    staleness across rounds); the scan is exception-guarded so a
+    vanished file can't kill the watchdog thread."""
+    try:
+        cands = []
+        for p in _CAPTURE_ROOT.glob("matched_r*/bench*.json"):
+            try:
+                if p.stat().st_size > 0:
+                    cands.append((p.stat().st_mtime, p))
+            except OSError:
+                continue
+        for _, p in sorted(cands, reverse=True):
+            cand = str(p)
+            try:
+                rec = json.loads(p.read_text().strip().splitlines()[-1])
+            except (ValueError, IndexError, OSError):
+                continue
+            if "value" not in rec or "[CACHED" in str(rec.get("unit", "")):
+                continue
+            rec["unit"] = (f"{rec.get('unit', 's')} [CACHED from {cand}: "
+                           f"{reason}; this is the most recent real on-chip "
+                           "capture, not a fresh measurement]")
+            print(f"bench: emitting the cached on-chip capture from {cand} "
+                  f"({reason})", file=sys.stderr)
+            return _emit(rec)
+    except Exception as e:  # noqa: BLE001 — watchdog thread must survive
+        print(f"bench: cached-capture scan failed: {e!r}", file=sys.stderr)
     return False
 
 

@@ -854,13 +854,12 @@ def _pad_time(x, Tp):
     return jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
 
 
-def gauss_encode_batch(sym_b: jax.Array, idx_b: jax.Array, gt,
-                       lanes: int):
-    """Kernel-backed batched gaussian encode; bit-identical output dict
-    to the XLA path (same bulk splits, same wire)."""
+def _gauss_args(sym_b: jax.Array, idx_b: jax.Array, gt, lanes: int):
+    """Gaussian-plane kernel inputs: ((start, freq, rcp, low, ks) each
+    (B, T, lanes), esc, sym_flat, cap, padded, T) — the exact arrays the
+    XLA scan consumes, so both lowerings share one wire by construction."""
     B, n = sym_b.shape
     T, padded, _ = tr.plane_geometry(n, lanes)
-    Tp = -(-T // TC) * TC
     cap = tr.stream_cap(n, lanes, words=2)
     sym_tl = jax.vmap(
         lambda s: tr._to_tl(s.astype(jnp.int32), T, lanes, 0))(sym_b)
@@ -873,21 +872,14 @@ def gauss_encode_batch(sym_b: jax.Array, idx_b: jax.Array, gt,
     args = [a.reshape(B, T, lanes) for a in (
         start.astype(jnp.uint32), freq.astype(jnp.uint32), rcp,
         low.astype(jnp.uint32), ks.astype(jnp.uint32))]
-    args = [_pad_time(a, Tp) for a in args]
-    args, Bp = zip(*[_pad_batch(a) for a in args])
-    stream_rows, states, wp = _encode_call(*args, lanes, cap, T)
-    return _finish_encode(stream_rows[:B], states[:B], wp[:B],
-                          esc, sym_tl.reshape(B, -1), cap, padded)
+    return args, esc, sym_tl.reshape(B, -1), cap, padded, T
 
 
-def eb_encode_batch(sym_b: jax.Array, idx_b: jax.Array, tables,
-                    lanes: int):
-    """Kernel-backed batched factorized-prior encode; bit-identical
-    output dict to the vmapped tr.rans_encode (the low push degenerates
-    to the exact identity at k = 0: ks = 16, low = 0)."""
+def _eb_args(sym_b: jax.Array, idx_b: jax.Array, tables, lanes: int):
+    """Factorized-prior kernel inputs (the low push degenerates to the
+    exact identity at ks = 16, low = 0); same contract as _gauss_args."""
     B, n = sym_b.shape
     T, padded, _ = tr.plane_geometry(n, lanes)
-    Tp = -(-T // TC) * TC
     cap = tr.stream_cap(n, lanes)
     sym_tl = jax.vmap(lambda s: tr._to_tl(
         s.astype(jnp.int32), T, lanes, tables.pad_symbol))(sym_b)
@@ -901,11 +893,133 @@ def eb_encode_batch(sym_b: jax.Array, idx_b: jax.Array, tables,
     args = [a.reshape(B, T, lanes) for a in (
         start.astype(jnp.uint32), freq.astype(jnp.uint32), rcp)]
     args += [zero, jnp.full((B, T, lanes), 16, jnp.uint32)]
+    return args, esc, sym_tl.reshape(B, -1), cap, padded, T
+
+
+def gauss_encode_batch(sym_b: jax.Array, idx_b: jax.Array, gt,
+                       lanes: int):
+    """Kernel-backed batched gaussian encode; bit-identical output dict
+    to the XLA path (same bulk splits, same wire)."""
+    B = sym_b.shape[0]
+    args, esc, sym_flat, cap, padded, T = _gauss_args(sym_b, idx_b, gt,
+                                                      lanes)
+    Tp = -(-T // TC) * TC
+    args = [_pad_time(a, Tp) for a in args]
+    args, Bp = zip(*[_pad_batch(a) for a in args])
+    stream_rows, states, wp = _encode_call(*args, lanes, cap, T)
+    return _finish_encode(stream_rows[:B], states[:B], wp[:B],
+                          esc, sym_flat, cap, padded)
+
+
+def eb_encode_batch(sym_b: jax.Array, idx_b: jax.Array, tables,
+                    lanes: int):
+    """Kernel-backed batched factorized-prior encode; bit-identical
+    output dict to the vmapped tr.rans_encode."""
+    B = sym_b.shape[0]
+    args, esc, sym_flat, cap, padded, T = _eb_args(sym_b, idx_b, tables,
+                                                   lanes)
+    Tp = -(-T // TC) * TC
     args = [_pad_time(a, Tp) for a in args]
     args, _ = zip(*[_pad_batch(a) for a in args])
     stream_rows, states, wp = _encode_call(*args, lanes, cap, T)
     return _finish_encode(stream_rows[:B], states[:B], wp[:B],
-                          esc, sym_tl.reshape(B, -1), cap, padded)
+                          esc, sym_flat, cap, padded)
+
+
+def _identity_args(shape):
+    """Kernel inputs whose encode step is an EXACT no-op: freq = 2^16
+    makes the high push's renorm test (state >> 16 >= freq) always
+    false and its state update (q << 16) + r + 0 == state (the limb
+    division is exact at freq = 2^16: rcp = 2^-16 is a power of two and
+    every partial remainder < 2^24 — see tr._div_u32_by_u16); ks = 16,
+    low = 0 makes the low push the same identity. Zero renorm words,
+    state untouched — so rows padded with these steps produce wire
+    bytes IDENTICAL to an unpadded encode of the same row."""
+    return (jnp.zeros(shape, jnp.uint32),
+            jnp.full(shape, 65536, jnp.uint32),
+            jnp.full(shape, np.float32(1.0 / 65536.0), jnp.float32),
+            jnp.zeros(shape, jnp.uint32),
+            jnp.full(shape, 16, jnp.uint32))
+
+
+def fused_encode_batch(planes):
+    """Encode several (possibly ragged) planes in ONE kernel launch.
+
+    planes: sequence of ("gauss", sym_b, idx_b, gauss_tables, lanes) or
+    ("eb", sym_b, idx_b, eb_tables, lanes) with sym_b/idx_b (B_i, n_i).
+    Returns one enc dict per plane, each BIT-IDENTICAL to the separate
+    gauss_encode_batch / eb_encode_batch output (same per-plane lanes,
+    caps, escapes, overflow semantics).
+
+    Why: the encode scan's cost is its sequential grid-step count, and
+    batch rows ride VPU sublanes in lockstep (B=1 -> B=8 is 40.7 ->
+    73.1 ms for 8x the symbols, matched_r4/pallas_ab2.log). Encoding an
+    image's z / y-anchor / y-nonanchor planes as three calls pays the
+    step latency three times; stacking them as rows of one call pays it
+    once. Ragged shapes are reconciled with identity steps
+    (_identity_args): planes shorter in time are padded up to the
+    longest plane's T, and planes with fewer lanes occupy the low lanes
+    with identity steps above — both padings emit zero renorm words and
+    leave lane order, states, and stream bytes unchanged."""
+    specs = []
+    for kind, sym_b, idx_b, tab, lanes in planes:
+        build = _gauss_args if kind == "gauss" else _eb_args
+        args, esc, sym_flat, cap, padded, T = build(sym_b, idx_b, tab,
+                                                    lanes)
+        specs.append(dict(args=args, esc=esc, sym=sym_flat, cap=cap,
+                          padded=padded, T=T, lanes=lanes,
+                          B=sym_b.shape[0]))
+    L = max(sp["lanes"] for sp in specs)
+    T_max = max(sp["T"] for sp in specs)
+    Tp = -(-T_max // TC) * TC
+    cap = max(sp["cap"] for sp in specs)
+
+    rows = []
+    for sp in specs:
+        a, B, T, lanes = sp["args"], sp["B"], sp["T"], sp["lanes"]
+        if lanes < L:
+            ident = _identity_args((B, T, L - lanes))
+            a = [jnp.concatenate([x, iv], axis=2)
+                 for x, iv in zip(a, ident)]
+        if T < T_max:
+            ident = _identity_args((B, T_max - T, L))
+            a = [jnp.concatenate([x, iv], axis=1)
+                 for x, iv in zip(a, ident)]
+        rows.append(a)
+    cat = [jnp.concatenate([r[j] for r in rows], axis=0) for j in range(5)]
+    B_tot = cat[0].shape[0]
+    # pad the row count to a power of two (<= MAX_G per grid step) with
+    # IDENTITY rows: a 3-row fused call hung the Mosaic backend on-chip
+    # (odd sublane grouping), and _pad_batch's zero rows would put
+    # freq = 0 / rcp = inf through the limb division — identity rows are
+    # well-defined no-ops that cost one lockstep sublane
+    Bp = 1
+    while Bp < B_tot:
+        Bp *= 2
+    Bp = -(-B_tot // min(B_tot, MAX_G)) * min(B_tot, MAX_G) if Bp > MAX_G \
+        else Bp
+    if Bp != B_tot:
+        ident = _identity_args((Bp - B_tot, cat[0].shape[1], L))
+        cat = [jnp.concatenate([x, iv], axis=0)
+               for x, iv in zip(cat, ident)]
+    args = [_pad_time(x, Tp) for x in cat]
+    stream_rows, states, wp = _encode_call(*args, L, cap, T_max)
+
+    outs, off = [], 0
+    for sp in specs:
+        B = sp["B"]
+        enc = _finish_encode(stream_rows[off:off + B],
+                             states[off:off + B, :sp["lanes"]],
+                             wp[off:off + B], sp["esc"], sp["sym"],
+                             cap, sp["padded"])
+        if sp["cap"] < cap:
+            # preserve the separate call's host-fallback semantics: a
+            # plane whose renorm words exceed ITS OWN cap must still
+            # raise OverflowError at framing (n_renorm > stream length)
+            enc["stream"] = enc["stream"][:, :sp["cap"]]
+        outs.append(enc)
+        off += B
+    return outs
 
 
 _ENC_PROBE_OK = None

@@ -925,6 +925,31 @@ def rans_encode_batch(sym_b: jax.Array, idx_b: jax.Array,
                     )(sym_b, idx_b)
 
 
+def fused_encode_planes(planes):
+    """Encode several (possibly ragged) planes, as ONE Mosaic kernel
+    launch when the encode kernel is available, else as per-plane XLA
+    scans. planes: sequence of ("gauss"|"eb", sym_b (B, n), idx_b (B, n),
+    tables, lanes). Returns one enc dict per plane; the wire is
+    bit-identical across lowerings AND to separate per-plane calls (the
+    fused kernel pads ragged rows with exact-identity steps — see
+    pallas_rans.fused_encode_batch).
+
+    This is the encode-latency fuse: the scan's sequential step count is
+    paid once for all planes instead of once per plane (r5
+    enc_dispatch_probe: separate z+a+n = 176 ms, fused ~ the longest
+    plane alone)."""
+    max_lanes = max(p[4] for p in planes)
+    pk = _kernel_module("probe_enc", max_lanes)
+    if pk is not None and all(pk.supported(p[4]) for p in planes):
+        return pk.fused_encode_batch(planes)
+    outs = []
+    for kind, sym_b, idx_b, tab, lanes in planes:
+        outs.append(gauss_encode_batch(sym_b, idx_b, tab, lanes)
+                    if kind == "gauss"
+                    else rans_encode_batch(sym_b, idx_b, tab, lanes))
+    return outs
+
+
 def gauss_decode_batch(stream_b: jax.Array, states_b: jax.Array,
                        idx_b: jax.Array, esc_pos_b: jax.Array,
                        esc_val_b: jax.Array, gt: GaussTables,

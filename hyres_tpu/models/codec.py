@@ -664,9 +664,31 @@ class TpuPlaneCoder:
 
         @jax.jit
         def encode_all(z_sym, a_sym, a_idx, n_sym, n_idx):
-            return (_enc_eb(z_sym, _z_idx(z_sym)),
-                    _enc_gauss(a_sym, a_idx),
-                    _enc_gauss(n_sym, n_idx))
+            # The two equal-shape y-parity planes ride ONE fused kernel
+            # launch (rows in VPU sublane lockstep): the encode scan's
+            # sequential step latency is paid once for both planes, and
+            # the wire stays bit-identical to separate per-plane encodes
+            # (pinned by test_models.test_encode_all_fused_matches_
+            # separate). r5 dispatch probe on-chip: separate z+a+n =
+            # 175.8 ms, z + fused(a,n) = 91.8 ms. (Folding z in as a
+            # ragged identity-padded row — fused_encode_planes supports
+            # it — measured SLOWER, 172 ms: the G=4 call with identity
+            # rows loses the sublane economics on this backend, see
+            # NOTES r5.)
+            B = z_sym.shape[0]
+            eb = _enc_eb(z_sym, _z_idx(z_sym))
+            yn = int(np.prod(a_sym.shape[1:]))
+            y_lanes = min(tpu_rans.GAUSS_LANES, tpu_rans.lanes_for(yn))
+            if a_sym.shape == n_sym.shape:
+                a_enc, n_enc = tpu_rans.fused_encode_planes([
+                    ("gauss", a_sym.astype(jnp.int32).reshape(B, -1),
+                     a_idx.astype(jnp.int32).reshape(B, -1), gauss_ana,
+                     y_lanes),
+                    ("gauss", n_sym.astype(jnp.int32).reshape(B, -1),
+                     n_idx.astype(jnp.int32).reshape(B, -1), gauss_ana,
+                     y_lanes)])
+                return eb, a_enc, n_enc
+            return (eb, _enc_gauss(a_sym, a_idx), _enc_gauss(n_sym, n_idx))
 
         @jax.jit
         def encode_gauss(sym, idx):

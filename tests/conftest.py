@@ -54,8 +54,11 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
+    # match on the FILENAME, not item.module: touching item.module imports
+    # every slow module at collection time, so the quick lane would still
+    # pay the compile-heavy imports it exists to skip (ADVICE r4)
     for item in items:
-        if item.module.__name__ in _SLOW_MODULES:
+        if item.path.stem in _SLOW_MODULES:
             item.add_marker(pytest.mark.slow)
 
 

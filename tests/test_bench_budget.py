@@ -43,23 +43,37 @@ def test_cached_fallback_picks_newest_valid(tmp_path, monkeypatch):
     os.utime(empty, (now - 2, now - 2))
     os.utime(newer, (now - 50, now - 50))
 
-    monkeypatch.chdir(tmp_path)
+    # already-CACHED captures must be skipped, never re-emitted (ADVICE
+    # r4: re-emitting a saved cached emission compounds staleness)
+    stale = d / "bench_stale.json"
+    stale.write_text(json.dumps(
+        {"metric": "m", "value": 0.1, "unit": "s [CACHED from x: y]",
+         "vs_baseline": 7.0}) + "\n")
+    os.utime(stale, (now - 10, now - 10))
+
+    monkeypatch.setattr(mod, "_CAPTURE_ROOT", tmp_path)
     mod._json_emitted.clear()
     buf = io.StringIO()
     with redirect_stdout(buf):
         ok = mod._emit_cached_result("test reason")
     assert ok
     rec = json.loads(buf.getvalue().strip().splitlines()[-1])
-    # newest VALID wins: bad (newest) and empty are skipped, newer > older
+    # newest VALID wins: bad (newest), empty, and the already-CACHED
+    # record are skipped; newer > older
     assert rec["value"] == 0.25
     assert "CACHED" in rec["unit"] and "test reason" in rec["unit"]
     assert mod._json_emitted.is_set()
+    # second emission attempt is suppressed (first-emission-wins lock)
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        ok2 = mod._emit_cached_result("again")
+    assert not ok2 and buf2.getvalue().strip() == ""
 
 
 def test_cached_fallback_returns_false_without_candidates(tmp_path,
                                                           monkeypatch):
     mod = _load_bench()
-    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(mod, "_CAPTURE_ROOT", tmp_path)
     mod._json_emitted.clear()
     buf = io.StringIO()
     with redirect_stdout(buf):

@@ -96,6 +96,37 @@ def test_entropy_bottleneck_forward_and_tables():
         assert row[0] == 0 and row[-1] == 1 << 16 and np.all(np.diff(row) >= 1)
 
 
+def test_bake_sigmoid_guard_exact_and_warning_free():
+    """The CDF bake's logistic is overflow-guarded (VERDICT r4 weak #7):
+    it must be warning-free at saturating arguments AND bit-identical to
+    the naive 1/(1+exp(-x)) everywhere that form is finite (so baked
+    tables are unchanged by the guard)."""
+    import warnings
+
+    from hyres_tpu.entropy.bottleneck import _sigmoid
+
+    x = np.concatenate([np.linspace(-700, 700, 2001),
+                        [-1e6, -1e4, -750, -709.8, 709.8, 750, 1e4, 1e6]])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = _sigmoid(x)
+    with np.errstate(over="ignore"):
+        naive = 1.0 / (1.0 + np.exp(-np.asarray(x, np.float64)))
+    np.testing.assert_array_equal(got, naive)
+
+    # the full bake path is also warning-free (extreme quantile spread
+    # drives the tail logits deep into saturation)
+    eb = EntropyBottleneck(4)
+    z = jax.random.normal(jax.random.key(5), (1, 8, 8, 4)) * 40
+    params = eb.init(jax.random.key(6), z, noise=True, rng=jax.random.key(7))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        tabs = build_bottleneck_tables(params["params"])
+    for c in range(4):
+        row = tabs.quantized_cdf[c, : tabs.cdf_length[c]]
+        assert row[0] == 0 and row[-1] == 1 << 16 and np.all(np.diff(row) >= 1)
+
+
 def test_entropy_bottleneck_real_coding(rng_np):
     eb = EntropyBottleneck(8)
     z = jax.random.normal(jax.random.key(0), (1, 16, 16, 8)) * 3

@@ -106,9 +106,9 @@ def test_inference_main_end_to_end(tmp_path, kodim01):
     with open(outdir / "metrics.csv") as f:
         rows = list(csv.DictReader(f))
     names = [r["filename"] for r in rows]
-    assert names == ["a.png", "b.png", "average"]
+    assert names == ["a.png", "b.png", "average", "median"]
     assert (outdir / "a_recon.png").exists() and (outdir / "b_recon.png").exists()
-    avg = rows[-1]
+    avg = rows[-2]
     assert abs(float(avg["total_bpp"]) -
                np.mean([float(r["total_bpp"]) for r in rows[:2]])) < 1e-9
 
@@ -144,7 +144,7 @@ def test_inference_main_batched_matches_single(tmp_path, kodim01):
             return {r["filename"]: r for r in csv.DictReader(f)}
 
     single, batched = read("single"), read("batched")
-    assert set(batched) == {"a.png", "b.png", "average"}
+    assert set(batched) == {"a.png", "b.png", "average", "median"}
     for name in ("a.png", "b.png"):
         for col in ("total_bpp", "y_bpp", "z_bpp"):
             assert abs(float(batched[name][col]) -
@@ -187,7 +187,7 @@ def test_inference_main_streamed_matches_single(tmp_path, kodim01):
             return {r["filename"]: r for r in csv.DictReader(f)}
 
     single, streamed = read("single"), read("streamed")
-    assert set(streamed) == {"a.png", "b.png", "average"}
+    assert set(streamed) == {"a.png", "b.png", "average", "median"}
     for name in ("a.png", "b.png"):
         for col in ("total_bpp", "y_bpp", "z_bpp", "mse"):
             assert abs(float(streamed[name][col]) -
@@ -203,7 +203,7 @@ def test_inference_main_streamed_matches_single(tmp_path, kodim01):
     inference.main(common + ["--output", str(tmp_path / "bs"),
                              "--batch", "2", "--stream", "2"])
     bs = read("bs")
-    assert set(bs) == {"a.png", "b.png", "average"}
+    assert set(bs) == {"a.png", "b.png", "average", "median"}
     for name in ("a.png", "b.png"):
         assert abs(float(bs[name]["total_bpp"]) -
                    float(single[name]["total_bpp"])) < 5e-3

@@ -198,6 +198,34 @@ def test_real_rate_tracks_estimate_on_trained_stats():
         f"real rate {nbytes * 8} suspiciously below estimate {est_bits:.0f}")
 
 
+def test_encode_all_fused_matches_separate(small_model):
+    """encode_all fuses the anchor/non-anchor encodes into one batched
+    kernel call (rows in sublane lockstep); per-row streams are
+    independent, so the fused outputs must be bit-identical to separate
+    per-plane encode_gauss calls (r5 encode-latency fuse)."""
+    model, params = small_model
+    codec = CheckerboardCodec(model, params, coder="tpu")
+    codec.update(force=True)
+    tc = codec.tpu_coder
+
+    rng = np.random.default_rng(5)
+    z_sym = jnp.asarray(rng.integers(-8, 9, (1, 4, 4, 32)), jnp.int32)
+    a_sym = jnp.asarray(rng.integers(-40, 41, (1, 8, 4, 48)), jnp.int32)
+    n_sym = jnp.asarray(rng.integers(-40, 41, (1, 8, 4, 48)), jnp.int32)
+    a_idx = jnp.asarray(rng.integers(0, 64, (1, 8, 4, 48)), jnp.int32)
+    n_idx = jnp.asarray(rng.integers(0, 64, (1, 8, 4, 48)), jnp.int32)
+
+    eb, a_enc, n_enc = jax.tree.map(
+        np.asarray, tc.encode_all(z_sym, a_sym, a_idx, n_sym, n_idx))
+    eb_ref = jax.tree.map(np.asarray, tc.encode_eb(z_sym))
+    a_ref = jax.tree.map(np.asarray, tc.encode_gauss(a_sym, a_idx))
+    n_ref = jax.tree.map(np.asarray, tc.encode_gauss(n_sym, n_idx))
+    for got, ref in ((eb, eb_ref), (a_enc, a_ref), (n_enc, n_ref)):
+        assert set(got) == set(ref)
+        for k in ref:
+            np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
+
+
 def test_tpu_coder_roundtrip_matches_host(small_model):
     """coder="tpu" (on-device lane-parallel rANS) reproduces the host
     coder's reconstruction exactly, and its decode chain stays fully on

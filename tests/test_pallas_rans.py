@@ -299,6 +299,40 @@ def test_eb_encode_kernel_matches_xla():
             np.asarray(ref[k]), np.asarray(out[k]), err_msg=k)
 
 
+def test_fused_encode_matches_separate_ragged():
+    """fused_encode_batch runs ragged planes (different n, lanes, and
+    table kinds) as rows of ONE kernel launch, reconciling shapes with
+    exact-identity steps (freq = 2^16) — every plane's output dict must
+    be BIT-IDENTICAL to its separate per-plane kernel call (same wire,
+    same escapes, same per-plane overflow caps)."""
+    rng = np.random.default_rng(11)
+    gt = tr.build_gauss_tables(_scale_table())
+    eb = _eb_tables()
+
+    z_sym = np.clip(rng.normal(0, 4, (2, 3000)).round(), -15, 14
+                    ).astype(np.int32)
+    z_idx = rng.integers(0, 8, (2, 3000)).astype(np.int32)
+    a_sym, a_idx = zip(*[_plane(rng, 9000, wide=True) for _ in range(2)])
+    n_sym, n_idx = zip(*[_plane(rng, 9000) for _ in range(2)])
+    a_sym, a_idx = np.stack(a_sym), np.stack(a_idx)
+    n_sym, n_idx = np.stack(n_sym), np.stack(n_idx)
+    a_sym[0, :2] = [31000, -31000]  # escapes in one fused row
+    a_idx[0, :2] = 5
+
+    planes = [("eb", jnp.asarray(z_sym), jnp.asarray(z_idx), eb, 32),
+              ("gauss", jnp.asarray(a_sym), jnp.asarray(a_idx), gt, 64),
+              ("gauss", jnp.asarray(n_sym), jnp.asarray(n_idx), gt, 64)]
+    fused = pr.fused_encode_batch(planes)
+    seps = [pr.eb_encode_batch(planes[0][1], planes[0][2], eb, 32),
+            pr.gauss_encode_batch(planes[1][1], planes[1][2], gt, 64),
+            pr.gauss_encode_batch(planes[2][1], planes[2][2], gt, 64)]
+    for got, ref in zip(fused, seps):
+        for k in ("states", "stream", "n_renorm", "esc_pos", "esc_val",
+                  "n_esc"):
+            np.testing.assert_array_equal(
+                np.asarray(ref[k]), np.asarray(got[k]), err_msg=k)
+
+
 def test_encode_probe(monkeypatch):
     monkeypatch.setattr(pr, "_ENC_PROBE_OK", None)
     assert pr.probe_enc() is True
