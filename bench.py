@@ -347,6 +347,14 @@ def main():
     print(f"bench side-info: tpu-coder bpp={np.mean(bpps):.4f} "
           f"psnr={np.mean(psnrs):.2f} "
           f"per-image times={['%.3f' % t for t in times]}", file=sys.stderr)
+    # host-fallback cliff observability (VERDICT r4 weak-6): how many of
+    # the timed roundtrips silently re-framed with the host coder
+    from hyres_tpu.models import codec as codec_mod
+    fb = codec_mod.WIRE_STATS["host_fallbacks"]
+    print(f"bench side-info: host-coder fallbacks during timed roundtrips "
+          f"= {fb}/{len(imgs)}"
+          + (f" (reasons: {codec_mod.WIRE_STATS['fallback_reasons'][-3:]})"
+             if fb else ""), file=sys.stderr)
 
     def _left() -> float:
         return TOTAL_BUDGET_S - (time.time() - START)

@@ -256,6 +256,20 @@ def _write_csv(outdir: Path, rows):
     print(f"AVG: bpp={avg['total_bpp']:.4f} psnr={avg['psnr']:.2f} "
           f"ms-ssim={avg['ms_ssim']:.4f} enc={avg['enc_time']:.3f}s "
           f"dec={avg['dec_time']:.3f}s")
+    # host-fallback cliff report (VERDICT r4 weak-6): a TPU-coder run
+    # that silently re-framed images with the host coder loses the TPU
+    # latency story — make it visible next to the timing schema it skews
+    from ..models import codec as _codec_mod
+    fb = _codec_mod.WIRE_STATS.get("host_fallbacks", 0)
+    if fb:
+        print(f"WARNING: {fb} compress() call(s) fell back to the host "
+              "coder (stream-cap/escape overflow) — enc_time rows for "
+              "those images measure the HOST coder: "
+              f"{_codec_mod.WIRE_STATS['fallback_reasons'][-3:]}")
+    with open(outdir / "fallbacks.txt", "w") as f:
+        f.write(f"host_fallbacks={fb}\n")
+        for r in _codec_mod.WIRE_STATS.get("fallback_reasons", []):
+            f.write(r + "\n")
     with open(outdir / "metrics.csv", "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=keys)
         w.writeheader()

@@ -831,10 +831,8 @@ def _finish_encode(stream_rows, states, wp, esc_flat_b, sym_flat_b,
 
     def esc_of(esc_flat, sym_flat):
         if tr.COMPACT_MODE == "merge":
-            iota_p = jnp.arange(padded, dtype=jnp.int32)
-            esc_pos, n_esc = tr.masked_compact(
-                iota_p, esc_flat, tr.ESC_MAX, fill=padded)
-            esc_val, _ = tr.masked_compact(sym_flat, esc_flat, tr.ESC_MAX)
+            esc_pos, esc_val, n_esc = tr.escape_compact(
+                sym_flat, esc_flat, fill_pos=padded)
         else:
             (esc_pos,) = jnp.nonzero(esc_flat, size=tr.ESC_MAX,
                                      fill_value=padded)

@@ -401,6 +401,52 @@ def masked_compact(vals: jax.Array, mask: jax.Array, cap: int,
     return out, count
 
 
+def escape_compact(sym_flat: jax.Array, esc_flat: jax.Array,
+                   fill_pos: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Escape side lists ((ESC_MAX,) positions asc, (ESC_MAX,) values,
+    exact count) for a SPARSE mask — two-level stable compaction.
+
+    masked_compact over the full padded plane costs ~n*log2(n) selects
+    per list (~21M for a 589k-symbol y plane, and the encode path builds
+    TWO lists); escapes are capped at ESC_MAX = 256, so almost all of
+    that work shuffles zeros. Level 1 compacts the indices of the
+    128-wide ROWS that contain any set lane (n/128-element tree); level
+    2 gathers those <= ESC_MAX rows and compacts the (ESC_MAX*128,)
+    block (32k-element tree) — ~15x fewer selects, same bytes.
+
+    Exactness: row-major order is preserved (row indices ascend by
+    masked_compact's stability, lanes ascend within a row). The count is
+    the exact jnp.sum of the mask. Rows-with-escapes <= count, so when
+    count <= ESC_MAX every escape is captured; when count > ESC_MAX the
+    list prefix may be garbage, which is sound because frame_plane
+    raises OverflowError on the exact count before any byte is read.
+    Pinned bit-identical to masked_compact by tests/test_tpu_rans.py."""
+    n = esc_flat.shape[0]
+    W = 128
+    npad = -(-n // W) * W
+    mask = jnp.pad(esc_flat.astype(jnp.int32), (0, npad - n))
+    vals = jnp.pad(sym_flat, (0, npad - n))
+    rows = npad // W
+    m2 = mask.reshape(rows, W)
+    row_has = (jnp.sum(m2, axis=1) > 0)
+    row_iota = jnp.arange(rows, dtype=jnp.int32)
+    row_sel, _ = masked_compact(row_iota, row_has, ESC_MAX, fill=rows)
+    # gather the <= ESC_MAX escape-bearing rows (out-of-range fill rows
+    # clip to the last row; their lanes are masked off below)
+    live = row_sel < rows
+    v_rows = jnp.take(vals.reshape(rows, W), row_sel, axis=0, mode="clip")
+    m_rows = jnp.take(m2, row_sel, axis=0, mode="clip") * live[:, None]
+    pos_rows = (row_sel[:, None] * W
+                + jnp.arange(W, dtype=jnp.int32)[None, :])
+    esc_pos, _ = masked_compact(pos_rows.reshape(-1),
+                                m_rows.reshape(-1) > 0, ESC_MAX,
+                                fill=fill_pos)
+    esc_val, _ = masked_compact(v_rows.reshape(-1),
+                                m_rows.reshape(-1) > 0, ESC_MAX)
+    n_esc = jnp.sum(mask).astype(jnp.int32)
+    return esc_pos.astype(jnp.int32), esc_val, n_esc
+
+
 def _to_tl(flat: jax.Array, T: int, lanes: int, pad_value) -> jax.Array:
     n = flat.shape[0]
     flat = jnp.pad(flat, (0, T * lanes - n), constant_values=pad_value)
@@ -448,10 +494,8 @@ def _encode_scan_core(sym_tl: jax.Array, start: jax.Array, freq_f: jax.Array,
     esc_flat = esc_tl.reshape(-1)
     if COMPACT_MODE == "merge":
         stream, n_renorm = masked_compact(emit_flat, mask_flat, cap)
-        iota = jnp.arange(padded, dtype=jnp.int32)
-        esc_pos, n_esc = masked_compact(iota, esc_flat, ESC_MAX, fill=padded)
-        esc_val, _ = masked_compact(
-            sym_tl.reshape(-1), esc_flat, ESC_MAX)
+        esc_pos, esc_val, n_esc = escape_compact(
+            sym_tl.reshape(-1), esc_flat, fill_pos=padded)
     else:
         (pos,) = jnp.nonzero(mask_flat, size=cap, fill_value=padded)
         stream = jnp.take(emit_flat, pos, mode="fill", fill_value=0)
@@ -796,9 +840,8 @@ def gauss_encode(symbols: jax.Array, indexes: jax.Array,
     sym_flat = sym_tl.reshape(-1)
     if COMPACT_MODE == "merge":
         stream, n_renorm = masked_compact(emit_flat, mask_flat, cap)
-        iota = jnp.arange(padded, dtype=jnp.int32)
-        esc_pos, n_esc = masked_compact(iota, esc_flat, ESC_MAX, fill=padded)
-        esc_val, _ = masked_compact(sym_flat, esc_flat, ESC_MAX)
+        esc_pos, esc_val, n_esc = escape_compact(
+            sym_flat, esc_flat, fill_pos=padded)
     else:
         (pos,) = jnp.nonzero(mask_flat, size=cap, fill_value=2 * padded)
         stream = jnp.take(emit_flat, pos, mode="fill", fill_value=0)

@@ -29,7 +29,8 @@ from ..entropy import (
 from ..nn import checkerboard
 from .base import CodecBase
 from .cheng2020 import CHENG_ANCHOR, CHENG_NONANCHOR
-from .codec import _encode_planes, _lut_for, pad_to_multiple
+from .codec import (_encode_planes, _lut_for, count_host_fallback,
+                    pad_to_multiple)
 
 
 class Cheng2020Codec(CodecBase):
@@ -142,8 +143,9 @@ class Cheng2020Codec(CodecBase):
                     "size": size,
                     "time": time.time() - start,
                 }
-            except OverflowError:
-                pass  # fall through to the host single-stream coder
+            except OverflowError as e:
+                count_host_fallback(e)
+                # fall through to the host single-stream coder
         else:
             syms, size, start = payload
         z_sym, a_sym, a_idx, n_sym, n_idx = syms

@@ -174,12 +174,26 @@ def _decode_planes(strings: Sequence[bytes], indexes: np.ndarray, t: CdfTables) 
 
 # observability: every tunnel transfer the coder wire makes is counted
 # here (bytes, sync wall seconds) so perf work is attributable — see
-# scripts/profile_breakdown.py and RESULTS.md's breakdown table
-WIRE_STATS = {"d2h_bytes": 0, "d2h_syncs": 0, "d2h_s": 0.0, "h2d_bytes": 0}
+# scripts/profile_breakdown.py and RESULTS.md's breakdown table.
+# host_fallbacks counts compress() calls that silently re-framed with the
+# host coder because a plane overflowed its avg-rate stream cap or escape
+# side list (VERDICT r4 weak-6: the cliff must be measured, not silent);
+# fallback_reasons keeps the OverflowError messages (most recent last).
+WIRE_STATS = {"d2h_bytes": 0, "d2h_syncs": 0, "d2h_s": 0.0, "h2d_bytes": 0,
+              "host_fallbacks": 0, "fallback_reasons": []}
 
 
 def reset_wire_stats() -> None:
-    WIRE_STATS.update(d2h_bytes=0, d2h_syncs=0, d2h_s=0.0, h2d_bytes=0)
+    WIRE_STATS.update(d2h_bytes=0, d2h_syncs=0, d2h_s=0.0, h2d_bytes=0,
+                      host_fallbacks=0, fallback_reasons=[])
+
+
+def count_host_fallback(exc: BaseException) -> None:
+    """Record one TPU-coder -> host-coder fallback (keep <= 32 reasons)."""
+    WIRE_STATS["host_fallbacks"] += 1
+    reasons = WIRE_STATS["fallback_reasons"]
+    reasons.append(str(exc))
+    del reasons[:-32]
 
 
 def _device_get_counted(x):
@@ -946,7 +960,8 @@ class CheckerboardCodec(CodecBase):
             z_strings = tc.frames_from_enc(enc_z)
             anchor_strings = tc.frames_from_enc(enc_a)
             nonanchor_strings = tc.frames_from_enc(enc_n)
-        except OverflowError:
+        except OverflowError as e:
+            count_host_fallback(e)
             extra_np = None if extra is None else np.asarray(
                 jax.device_get(extra))
             z_strings = self._eb_encode(np.asarray(z_sym))

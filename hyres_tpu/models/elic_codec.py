@@ -35,7 +35,8 @@ from ..entropy import (
 from ..nn import checkerboard
 from ..nn.checkerboard import ANCHOR, NON_ANCHOR
 from .base import CodecBase
-from .codec import _decode_planes, _encode_planes, pad_to_multiple
+from .codec import (_decode_planes, _encode_planes,
+                    count_host_fallback, pad_to_multiple)
 
 
 class ElicCodec(CodecBase):
@@ -231,7 +232,8 @@ class ElicCodec(CodecBase):
             encs, enc_z = unpacked[:-1], unpacked[-1]
             y_strings = [tc.frames_from_enc(e) for e in encs]
             z_strings = tc.frames_from_enc(enc_z)
-        except OverflowError:
+        except OverflowError as e:
+            count_host_fallback(e)
             # x is already padded here; the host path would recompute
             # "size" from the padded shape, so the true size is forced
             return self._compress_host_fallback(x_padded, size)

@@ -527,6 +527,44 @@ def test_masked_compact_matches_nonzero(n, cap):
         np.testing.assert_array_equal(np.asarray(out)[k:], 0)
 
 
+@pytest.mark.parametrize("n", [1000, 4096, 100000, 589824])
+def test_escape_compact_matches_masked_compact(n):
+    """Two-level sparse escape compaction == the full merge tree,
+    bit-for-bit, for every in-contract escape density (the lists only
+    ship when n_esc < 256 — frame_plane raises otherwise)."""
+    rng = np.random.default_rng(n)
+    for n_set in (0, 1, 7, 200, 255):
+        pos = rng.choice(n, size=n_set, replace=False)
+        mask = np.zeros(n, bool)
+        mask[pos] = True
+        sym = rng.integers(-30000, 30000, n).astype(np.int32)
+        ep, ev, cnt = tpu_rans.escape_compact(
+            jnp.asarray(sym), jnp.asarray(mask), fill_pos=n)
+        iota = np.arange(n, dtype=np.int32)
+        ep_ref, cnt_ref = tpu_rans.masked_compact(
+            jnp.asarray(iota), jnp.asarray(mask), tpu_rans.ESC_MAX, fill=n)
+        ev_ref, _ = tpu_rans.masked_compact(
+            jnp.asarray(sym), jnp.asarray(mask), tpu_rans.ESC_MAX)
+        assert int(cnt) == int(cnt_ref) == n_set
+        np.testing.assert_array_equal(np.asarray(ep), np.asarray(ep_ref))
+        # values past the count are don't-care in the wire (frame_plane
+        # slices [:n_esc]); compare only the live prefix
+        np.testing.assert_array_equal(np.asarray(ev)[:n_set],
+                                      np.asarray(ev_ref)[:n_set])
+
+
+def test_escape_compact_overflow_count_exact():
+    """count stays exact past ESC_MAX (the overflow detector's input),
+    even when the list prefix is no longer guaranteed."""
+    rng = np.random.default_rng(0)
+    n = 100000
+    mask = rng.random(n) < 0.02           # ~2000 escapes
+    sym = rng.integers(-100, 100, n).astype(np.int32)
+    _, _, cnt = tpu_rans.escape_compact(
+        jnp.asarray(sym), jnp.asarray(mask), fill_pos=n)
+    assert int(cnt) == int(mask.sum())
+
+
 def test_masked_compact_position_fill():
     n = 1000
     mask = np.zeros(n, bool)
