@@ -355,12 +355,28 @@ def upload_frames(unframed: Sequence[Tuple], extra: np.ndarray | None = None):
 
 
 def _sizes_cols(encs, extra):
-    """(B, 2P+1) i32: per plane [n_renorm, n_esc], then nnz(extra)."""
+    """(B, 2P+3) i32: per plane [n_renorm, n_esc], then nnz(extra), then
+    the 64-bit BLOCK-COLUMN activity mask of extra as two i32 words
+    (bit c set iff any 8x8 block's c-th coefficient is nonzero; zero
+    when extra is empty or not block-aligned). The mask is what the
+    column-sparse coefficient pack validates its static column plan
+    against — see _pack_sliced_jit."""
     cols = []
     for e in encs:
         cols += [e["n_renorm"], e["n_esc"]]
-    cols.append(jnp.sum((extra != 0).reshape(extra.shape[0], -1),
-                        axis=1).astype(jnp.int32))
+    flat = extra.reshape(extra.shape[0], -1)
+    B, n = flat.shape
+    if n and n % 64 == 0:
+        nz = jnp.any((flat != 0).reshape(B, n // 64, 64), axis=1)  # (B, 64)
+        bits = jnp.where(nz, jnp.uint32(1), jnp.uint32(0))
+        w = jnp.arange(32, dtype=jnp.uint32)
+        lo = jnp.sum(bits[:, :32] << w, axis=1).astype(jnp.int32)
+        hi = jnp.sum(bits[:, 32:] << w, axis=1).astype(jnp.int32)
+    else:
+        lo = hi = jnp.zeros((B,), jnp.int32)
+    cols += [lo, hi]
+    # nnz stays LAST (sizes[:, -1] is the nnz contract everywhere)
+    cols.append(jnp.sum(flat != 0, axis=1).astype(jnp.int32))
     return jnp.stack(cols, axis=1)
 
 
@@ -373,12 +389,23 @@ def _pack_full_jit(encs, extra):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("slices", "coef_cap", "with_sizes"))
-def _pack_sliced_jit(encs, extra, slices, coef_cap, with_sizes=False):
+                   static_argnames=("slices", "coef_cap", "with_sizes",
+                                    "coef_cols"))
+def _pack_sliced_jit(encs, extra, slices, coef_cap, with_sizes=False,
+                     coef_cols=None):
     """pack_encs with per-plane (stream_len, esc_len) slicing; extra is
-    appended dense (coef_cap None) or as sparse (pos i32, val i16)
-    compacted pairs (coef_cap entries, positions padded with n).
-    with_sizes prepends the (B, 2P+1) i32 size vector so a SPECULATIVE
+    appended dense (coef_cap None), as sparse (pos i32, val i16)
+    compacted pairs (coef_cap entries, positions padded with n), or —
+    when coef_cols is a static tuple of 8x8-block coefficient positions
+    — COLUMN-sparse: extra viewed as (B, nblk, 64) with only the listed
+    columns shipped, positions implicit. The column pack exists because
+    the (pos, val) compaction ran two full-plane masked_compact trees
+    (~51 ms of device time per image, matched_r5/pull_decomp.log) while
+    JPEG coefficients at production qualities are nonzero in only a
+    handful of the 64 block positions; static column slices cost ~zero
+    device compute. The plan is validated against the on-blob column
+    mask (_sizes_cols) and widened via exact repull on miss.
+    with_sizes prepends the (B, 2P+3) i32 size vector so a SPECULATIVE
     pull can validate its slice plan from the blob itself (see
     pull_encs)."""
     parts = []
@@ -391,7 +418,17 @@ def _pack_sliced_jit(encs, extra, slices, coef_cap, with_sizes=False):
                   _dev_u8(e["esc_pos"][:, :el]),
                   _dev_u8(e["esc_val"][:, :el]),
                   _dev_u8(e["stream"][:, :sl])]
-    if coef_cap is None:
+    if coef_cols is not None:
+        B = extra.shape[0]
+        n = extra.reshape(B, -1).shape[1]
+        assert n % 64 == 0
+        blk = extra.reshape(B, n // 64, 64)
+        if coef_cols:
+            # static slices + one concat (NOT a gather — keeps the pack
+            # at pure data-movement cost on every backend)
+            parts.append(_dev_u8(jnp.concatenate(
+                [blk[:, :, c:c + 1] for c in coef_cols], axis=2)))
+    elif coef_cap is None:
         if extra.shape[1]:
             parts.append(_dev_u8(extra))
     else:
@@ -423,8 +460,9 @@ def _pack_sliced_jit(encs, extra, slices, coef_cap, with_sizes=False):
 def _unpack_sliced_host(blob: np.ndarray, plans, extra_info,
                         with_sizes: bool = False):
     """Inverse of _pack_sliced_jit. plans: per-plane (lanes, sl, el).
-    extra_info: None or (np_dtype, per_image_n, coef_cap_or_None).
-    Returns (encs, dense extra np or None, sizes or None)."""
+    extra_info: None or (np_dtype, per_image_n, coef_cap_or_None[,
+    coef_cols_or_None]). Returns (encs, dense extra np or None,
+    sizes or None)."""
     off = 0
     B = blob.shape[0]
 
@@ -434,7 +472,7 @@ def _unpack_sliced_host(blob: np.ndarray, plans, extra_info,
         off += nbytes
         return out
 
-    sizes = view(4 * (2 * len(plans) + 1), np.int32) if with_sizes else None
+    sizes = view(4 * (2 * len(plans) + 3), np.int32) if with_sizes else None
     encs = []
     for lanes, sl, el in plans:
         encs.append({
@@ -449,8 +487,17 @@ def _unpack_sliced_host(blob: np.ndarray, plans, extra_info,
         })
     extra_np = None
     if extra_info is not None:
-        dt, n, coef_cap = extra_info
-        if coef_cap is None:
+        dt, n, coef_cap = extra_info[:3]
+        coef_cols = extra_info[3] if len(extra_info) > 3 else None
+        if coef_cols is not None:
+            k = len(coef_cols)
+            extra_np = np.zeros((B, n // 64, 64), dt)
+            if k:
+                packed = view(n // 64 * k * dt.itemsize, dt)
+                extra_np[:, :, list(coef_cols)] = packed.reshape(
+                    B, n // 64, k)
+            extra_np = extra_np.reshape(B, n)
+        elif coef_cap is None:
             extra_np = view(n * dt.itemsize, dt)
         else:
             pos = view(4 * coef_cap, np.int32)
@@ -536,10 +583,20 @@ def pull_encs_dispatch(encs: Sequence[Dict], extra: jax.Array | None = None,
         cc = cap_nz if 6 * cap_nz < n_extra * dt.itemsize else None
         return cc, (dt, n_extra, cc)
 
+    def _mask_of(sizes) -> int:
+        """u64 column mask OR'd over the batch from the sizes row
+        (columns -3/-2 per _sizes_cols); 0 when not block-aligned."""
+        if sizes.shape[1] < 2 * len(encs) + 3:
+            return 0
+        lo = np.bitwise_or.reduce(sizes[:, -3].astype(np.uint32))
+        hi = np.bitwise_or.reduce(sizes[:, -2].astype(np.uint32))
+        return int(lo) | (int(hi) << 32)
+
     def finalize(out, extra_np, sizes):
         if cap_state is not None and sizes is not None:
             prev = cap_state.get(sig) or {"streams": [0] * len(encs),
-                                          "escs": [0] * len(encs), "nnz": 0}
+                                          "escs": [0] * len(encs),
+                                          "nnz": 0, "colmask": 0}
             cap_state[sig] = {
                 "streams": [max(prev["streams"][p],
                                 int(sizes[:, 2 * p].max()))
@@ -547,6 +604,7 @@ def pull_encs_dispatch(encs: Sequence[Dict], extra: jax.Array | None = None,
                 "escs": [max(prev["escs"][p], int(sizes[:, 2 * p + 1].max()))
                          for p in range(len(encs))],
                 "nnz": max(prev["nnz"], int(sizes[:, -1].max())),
+                "colmask": prev.get("colmask", 0) | _mask_of(sizes),
             }
         if extra is not None and extra_np is not None:
             extra_np = np.ascontiguousarray(extra_np).view(dt).reshape(
@@ -571,10 +629,30 @@ def pull_encs_dispatch(encs: Sequence[Dict], extra: jax.Array | None = None,
                                   _STREAM_BUCKET))
             el = 0 if st["escs"][p] == 0 else tpu_rans.ESC_MAX
             plans.append((lanes_l[p], sl, el))
-        cc, extra_info = coef_cap_for(st["nnz"] * 5 // 4 + 64)
-        blob_dev = _pack_sliced_jit(
-            encs, extra_arr, slices=tuple((sl, el) for _, sl, el in plans),
-            coef_cap=cc, with_sizes=True)
+        # coefficient plan: COLUMN-sparse when the payload is 8x8-block
+        # aligned and a column mask has been observed — static slices
+        # instead of the (pos, val) compaction whose masked_compact
+        # trees cost ~51 ms/image of device time (pull_decomp.log).
+        # Validated against the on-blob mask; a new column -> one exact
+        # repull (sparse path) which widens the recorded mask.
+        use_cols = (extra is not None and n_extra % 64 == 0
+                    and "colmask" in st)
+        if use_cols:
+            cm = st["colmask"]
+            cols = tuple(c for c in range(64) if (cm >> c) & 1)
+            cc = None
+            extra_info = (dt, n_extra, None, cols)
+            blob_dev = _pack_sliced_jit(
+                encs, extra_arr,
+                slices=tuple((sl, el) for _, sl, el in plans),
+                coef_cap=None, with_sizes=True, coef_cols=cols)
+        else:
+            cm, cols = 0, None
+            cc, extra_info = coef_cap_for(st["nnz"] * 5 // 4 + 64)
+            blob_dev = _pack_sliced_jit(
+                encs, extra_arr,
+                slices=tuple((sl, el) for _, sl, el in plans),
+                coef_cap=cc, with_sizes=True)
 
         def finish():
             blob = _device_get_counted(blob_dev)
@@ -585,7 +663,8 @@ def pull_encs_dispatch(encs: Sequence[Dict], extra: jax.Array | None = None,
                 int(sizes[:, 2 * p].max()) <= plans[p][1]
                 and int(sizes[:, 2 * p + 1].max()) <= plans[p][2]
                 for p in range(len(encs))
-            ) and (cc is None or int(sizes[:, -1].max()) <= cc)
+            ) and ((_mask_of(sizes) | cm) == cm if use_cols
+                   else (cc is None or int(sizes[:, -1].max()) <= cc))
             if fits:
                 return finalize(out, extra_np, sizes)
             return exact_repull(sizes)  # rare: stats moved past the hwm
@@ -598,14 +677,23 @@ def pull_encs_dispatch(encs: Sequence[Dict], extra: jax.Array | None = None,
             blob_np = _device_get_counted(blob_dev)
             metas = [(lanes_l[p], caps[p]) for p in range(len(encs))]
             out, extra_bytes = unpack_encs_host(blob_np, metas)
-            # sizes for the hwm from the pulled fields themselves
-            nnz = 0
+            # sizes for the hwm (incl. the column mask) from the pulled
+            # fields themselves — same layout as _sizes_cols
+            nnz, lo, hi = 0, 0, 0
             if extra is not None:
                 flat = np.ascontiguousarray(extra_bytes).view(dt)
                 nnz = int((flat != 0).sum(axis=1).max())
+                if n_extra and n_extra % 64 == 0:
+                    colnz = (flat != 0).reshape(
+                        flat.shape[0], -1, 64).any(axis=(0, 1))
+                    cm = sum(1 << c for c in range(64) if colnz[c])
+                    # wrap-safe u32 -> i32 (np.int32(u32 >= 2^31) raises)
+                    lo = np.uint32(cm & 0xFFFFFFFF).astype(np.int32)
+                    hi = np.uint32(cm >> 32).astype(np.int32)
             sizes = np.stack(
                 [c for e in out for c in (e["n_renorm"], e["n_esc"])]
-                + [np.full(B, nnz, np.int32)], axis=1)
+                + [np.full(B, lo, np.int32), np.full(B, hi, np.int32),
+                   np.full(B, nnz, np.int32)], axis=1)
             return finalize(out, None if extra is None else extra_bytes,
                             sizes)
         return finish

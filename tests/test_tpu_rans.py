@@ -433,6 +433,95 @@ def test_pull_encs_two_phase_extra_roundtrip(gauss_tables, dtype, density):
         assert sliced == ref
 
 
+def test_pull_encs_column_sparse_coef_path(gauss_tables):
+    """The speculative pull's COLUMN-sparse coefficient plan (static
+    block-position slices instead of the (pos, val) masked_compact —
+    the 51 ms/image device cost found in r5, pull_decomp.log) must
+    reconstruct the payload exactly, take the cols path once a mask is
+    recorded, and fall back to an exact repull when a NEW column
+    appears (then widen the recorded mask)."""
+    from hyres_tpu.models import codec as codec_mod
+
+    _, dev = gauss_tables
+    rng = np.random.default_rng(11)
+    B, n = 1, 20000
+    idx = rng.integers(0, 64, (B, n)).astype(np.int32)
+    sigma = np.asarray(get_scale_table())[idx]
+    sym = np.round(rng.normal(0, sigma)).astype(np.int32)
+    lanes = 64
+    enc = jax.jit(jax.vmap(
+        lambda s, i: tpu_rans.rans_encode(s, i, dev, lanes)))(
+        jnp.asarray(sym), jnp.asarray(idx))
+
+    def coef(active_cols):
+        # 8x8-block layout: 128 blocks x 64 positions, nonzeros only at
+        # the given block positions (JPEG q=1-like clustering)
+        c = np.zeros((B, 128, 64), np.int8)
+        for col in active_cols:
+            c[:, rng.integers(0, 128, 40), col] = rng.integers(
+                1, 100, 40).astype(np.int8)
+        return c.reshape(B, 128 * 64)
+
+    cap_state: dict = {}
+    # call 1: no state -> full-cap pull; records colmask
+    e1 = coef([0, 1, 8])
+    out, x1 = codec_mod.pull_encs([enc], jnp.asarray(e1),
+                                  cap_state=cap_state)
+    np.testing.assert_array_equal(x1, e1)
+    st = next(iter(cap_state.values()))
+    assert st["colmask"] == (1 << 0) | (1 << 1) | (1 << 8)
+
+    # call 2: speculative cols path (subset of the mask) — exact bytes
+    e2 = coef([0, 8])
+    out2, x2 = codec_mod.pull_encs([enc], jnp.asarray(e2),
+                                   cap_state=cap_state)
+    np.testing.assert_array_equal(x2, e2)
+    full = jax.device_get(enc)
+    np.testing.assert_array_equal(out2[0]["states"], full["states"])
+    nr = int(full["n_renorm"][0])
+    assert int(out2[0]["n_renorm"][0]) == nr
+    np.testing.assert_array_equal(out2[0]["stream"][0][:nr],
+                                  full["stream"][0][:nr])
+
+    # call 3: a NEW column (9) -> mask miss -> exact repull, still exact,
+    # and the recorded mask widens
+    e3 = coef([0, 1, 9])
+    _, x3 = codec_mod.pull_encs([enc], jnp.asarray(e3),
+                                cap_state=cap_state)
+    np.testing.assert_array_equal(x3, e3)
+    st = next(iter(cap_state.values()))
+    assert st["colmask"] & (1 << 9)
+
+    # call 4: cols path again with the widened mask
+    e4 = coef([1, 9])
+    _, x4 = codec_mod.pull_encs([enc], jnp.asarray(e4),
+                                cap_state=cap_state)
+    np.testing.assert_array_equal(x4, e4)
+
+
+def test_sizes_cols_mask_matches_numpy(gauss_tables):
+    """_sizes_cols' device-side u64 column mask == the host formula."""
+    from hyres_tpu.models import codec as codec_mod
+
+    _, dev = gauss_tables
+    rng = np.random.default_rng(3)
+    sym = rng.integers(-5, 5, (2, 512)).astype(np.int32)
+    idx = rng.integers(0, 64, (2, 512)).astype(np.int32)
+    enc = jax.jit(jax.vmap(
+        lambda s, i: tpu_rans.rans_encode(s, i, dev, 32)))(
+        jnp.asarray(sym), jnp.asarray(idx))
+    extra = np.zeros((2, 4 * 64), np.int8)
+    extra[0, 33] = 7          # block 0, col 33 (tests the hi word)
+    extra[1, 64 + 2] = -3     # block 1, col 2
+    sizes = np.asarray(codec_mod._sizes_jit([enc], jnp.asarray(extra)))
+    lo = sizes[:, -3].astype(np.uint32)
+    hi = sizes[:, -2].astype(np.uint32)
+    masks = [int(lo[i]) | (int(hi[i]) << 32) for i in range(2)]
+    assert masks[0] == 1 << 33
+    assert masks[1] == 1 << 2
+    assert list(sizes[:, -1]) == [1, 1]
+
+
 # ---------------------------------------------------------------------------
 # pure-VPU scan-step lowerings (prefix ladder / butterfly stream routing)
 # ---------------------------------------------------------------------------
