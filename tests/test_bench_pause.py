@@ -73,7 +73,17 @@ def test_pause_stops_and_atexit_resumes_stages():
             stages.append(p)
         time.sleep(1.0)
         pidfiles = sorted(Path("/tmp/hyres_chain_stages").glob("*.pid"))
-        pgids = [int(f.read_text()) for f in pidfiles]
+        # assert only on LIVE stages (ours): a stale pidfile from an
+        # externally killed chain stage is skipped by the pause code
+        # (ProcessLookupError) and must not fail this test
+        pgids = []
+        for f in pidfiles:
+            pgid = int(f.read_text())
+            try:
+                os.killpg(pgid, 0)
+                pgids.append(pgid)
+            except (ProcessLookupError, PermissionError):
+                continue
         assert len(pgids) >= 2
 
         # run the pause in a subprocess so its atexit hook fires for real
